@@ -1,0 +1,50 @@
+"""Exact Gaussian-process regression (ref:gpflowSlim/models/gpr.py).
+
+Conjugate model: log marginal likelihood via one Cholesky of
+``K(X) + σ² I`` and the MVN logpdf (SURVEY App. A); predictions via
+triangular solves against the stored training data. The Cholesky and solves
+route through ``ops.linalg`` so the Pallas blocked kernels can be swapped in
+behind a config flag.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import config, densities
+from ..likelihoods import Gaussian
+from ..ops import linalg
+from .model import GPModel
+
+
+class GPR(GPModel):
+    def __init__(self, X, Y, kern, mean_function=None, name="gpr"):
+        likelihood = Gaussian(name=f"{name}/likelihood")
+        super().__init__(X, Y, kern, likelihood, mean_function, name=name)
+
+    def _K_chol(self):
+        N = self.X.shape[0]
+        K = self.kern.K(self.X) + jnp.squeeze(self.likelihood.variance.value) * jnp.eye(
+            N, dtype=self.X.dtype
+        )
+        return linalg.cholesky(K)
+
+    def build_likelihood(self):
+        """log p(Y | θ) = MVN(Y; m(X), K + σ²I), summed over output columns."""
+        L = self._K_chol()
+        m = self.mean_function(self.X)
+        return densities.multivariate_normal(self.Y, m, L)
+
+    def build_predict(self, Xnew, full_cov=False):
+        Kx = self.kern.K(self.X, Xnew)  # (N, N*)
+        L = self._K_chol()
+        A = linalg.solve_lower(L, Kx)  # (N, N*)
+        V = linalg.solve_lower(L, self.Y - self.mean_function(self.X))  # (N, P)
+        fmean = A.T @ V + self.mean_function(Xnew)
+        if full_cov:
+            fvar = self.kern.K(Xnew) - A.T @ A
+            fvar = jnp.tile(fvar[None, :, :], (self.num_latent, 1, 1))  # (P,N*,N*)
+        else:
+            fvar = self.kern.Kdiag(Xnew) - jnp.sum(jnp.square(A), axis=0)
+            fvar = jnp.tile(fvar[:, None], (1, self.num_latent))  # (N*, P)
+        return fmean, fvar

@@ -1,0 +1,60 @@
+"""Switchable dense linear algebra (the reference's tf.linalg role).
+
+The reference delegates Cholesky/TRSM to TF's C++ kernels
+(Eigen LLT / cuSOLVER). Here the correctness path is XLA's native
+``cholesky``/``triangular_solve`` HLOs, and the performance path is the
+Pallas (Mosaic) blocked kernels in ``ops.pallas_cholesky`` /
+``ops.pallas_trsm``, selected by ``config.settings().use_pallas`` on TPU.
+JAX supplies JVP/VJP rules for the XLA path; the Pallas path carries
+``custom_vjp`` wrappers validated against it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cholesky as _xla_cholesky
+from jax.scipy.linalg import solve_triangular as _xla_solve_triangular
+
+from .. import config
+
+
+def _pallas_active() -> bool:
+    if not config.settings().use_pallas:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def cholesky(K):
+    """Lower Cholesky factor of an SPD matrix."""
+    if _pallas_active():
+        from . import pallas_cholesky
+
+        return pallas_cholesky.cholesky(K)
+    return _xla_cholesky(K, lower=True)
+
+
+def solve_lower(L, B):
+    """Solve L x = B with L lower-triangular."""
+    if _pallas_active():
+        from . import pallas_trsm
+
+        return pallas_trsm.solve_lower(L, B)
+    return _xla_solve_triangular(L, B, lower=True)
+
+
+def solve_upper(U, B):
+    """Solve U x = B with U upper-triangular."""
+    if _pallas_active():
+        from . import pallas_trsm
+
+        return pallas_trsm.solve_upper(U, B)
+    return _xla_solve_triangular(U, B, lower=False)
+
+
+def cho_solve_lower(L, B):
+    """Solve (L Lᵀ) x = B given the lower Cholesky factor."""
+    return solve_upper(L.T, solve_lower(L, B))
