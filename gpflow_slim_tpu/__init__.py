@@ -23,9 +23,11 @@ from . import (
     kernels,
     kullback_leiblers,
     likelihoods,
+    mcmc,
     mean_functions,
     models,
     ops,
+    parallel,
     params,
     priors,
     quadrature,

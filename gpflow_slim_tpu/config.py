@@ -43,6 +43,7 @@ class Settings:
     """
 
     jitter: float = 1e-6
+    jitter_f32: float = 1e-4
     positive_minimum: float = 1e-6
     num_gauss_hermite_points: int = 20
     dist_block_size: int = 256
@@ -88,7 +89,11 @@ def default_int():
 
 
 def default_jitter() -> float:
-    return _settings.jitter
+    """Dtype-aware jitter: the reference's 1e-6 is an f64 policy; f32
+    Cholesky (TPU perf mode) needs a larger floor (SURVEY §7.2 #1)."""
+    return _settings.jitter if x64_enabled() else max(
+        _settings.jitter, _settings.jitter_f32
+    )
 
 
 def enable_x64(enable: bool = True) -> None:

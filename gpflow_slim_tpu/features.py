@@ -26,6 +26,8 @@ class InducingFeature(Module):
 class InducingPoints(InducingFeature):
     def __init__(self, Z, name="inducing_points"):
         Z = np.asarray(Z)
+        if Z.ndim != 2:
+            raise ValueError(f"Z must be rank-2 (M, D); got shape {Z.shape}")
         self.Z = Param(Z, name=f"{name}/Z")
         self._num = int(Z.shape[0])
 

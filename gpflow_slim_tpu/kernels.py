@@ -183,18 +183,34 @@ class Stationary(Kernel):
     def Kdiag(self, X, presliced=False):
         return jnp.full((X.shape[0],), jnp.squeeze(self.variance.value), dtype=X.dtype)
 
+    # Stationary kernels with a fused-map code path (RBF/Matérn/Exponential)
+    # set ``_gram_kind``; K then routes through ops.pallas_gram — the Pallas
+    # fused tile kernel on TPU (config.use_pallas) or the identical jnp
+    # composite otherwise.
+    _gram_kind: str | None = None
+
+    def K(self, X, X2=None, presliced=False):
+        if self._gram_kind is None:
+            raise NotImplementedError
+        if not presliced:
+            X, X2 = self._slice(X, X2)
+        from .ops import linalg as _linalg
+        from .ops import pallas_gram as _pg
+
+        var = jnp.squeeze(self.variance.value)
+        Xs = self._scaled(X)
+        X2s = Xs if X2 is None else self._scaled(X2)
+        if _linalg._pallas_active():
+            return _pg.stationary_gram(self._gram_kind, Xs, X2s, var)
+        return _pg._gram_reference(self._gram_kind, Xs, X2s, var)
+
 
 class RBF(Stationary):
     def __init__(self, input_dim, variance=1.0, lengthscales=1.0,
                  active_dims=None, ARD=False, name="rbf"):
         super().__init__(input_dim, variance, lengthscales, active_dims, ARD, name)
+    _gram_kind = "rbf"
 
-    def K(self, X, X2=None, presliced=False):
-        if not presliced:
-            X, X2 = self._slice(X, X2)
-        return jnp.squeeze(self.variance.value) * jnp.exp(
-            -0.5 * self.square_dist(X, X2)
-        )
 
 
 SquaredExponential = RBF
@@ -206,54 +222,32 @@ class Exponential(Stationary):
     def __init__(self, input_dim, variance=1.0, lengthscales=1.0,
                  active_dims=None, ARD=False, name="exponential"):
         super().__init__(input_dim, variance, lengthscales, active_dims, ARD, name)
+    _gram_kind = "exponential"
 
-    def K(self, X, X2=None, presliced=False):
-        if not presliced:
-            X, X2 = self._slice(X, X2)
-        r = self.euclid_dist(X, X2)
-        return jnp.squeeze(self.variance.value) * jnp.exp(-0.5 * r)
 
 
 class Matern12(Stationary):
     def __init__(self, input_dim, variance=1.0, lengthscales=1.0,
                  active_dims=None, ARD=False, name="matern12"):
         super().__init__(input_dim, variance, lengthscales, active_dims, ARD, name)
+    _gram_kind = "matern12"
 
-    def K(self, X, X2=None, presliced=False):
-        if not presliced:
-            X, X2 = self._slice(X, X2)
-        r = self.euclid_dist(X, X2)
-        return jnp.squeeze(self.variance.value) * jnp.exp(-r)
 
 
 class Matern32(Stationary):
     def __init__(self, input_dim, variance=1.0, lengthscales=1.0,
                  active_dims=None, ARD=False, name="matern32"):
         super().__init__(input_dim, variance, lengthscales, active_dims, ARD, name)
+    _gram_kind = "matern32"
 
-    def K(self, X, X2=None, presliced=False):
-        if not presliced:
-            X, X2 = self._slice(X, X2)
-        r = self.euclid_dist(X, X2)
-        s3 = np.sqrt(3.0)
-        return jnp.squeeze(self.variance.value) * (1.0 + s3 * r) * jnp.exp(-s3 * r)
 
 
 class Matern52(Stationary):
     def __init__(self, input_dim, variance=1.0, lengthscales=1.0,
                  active_dims=None, ARD=False, name="matern52"):
         super().__init__(input_dim, variance, lengthscales, active_dims, ARD, name)
+    _gram_kind = "matern52"
 
-    def K(self, X, X2=None, presliced=False):
-        if not presliced:
-            X, X2 = self._slice(X, X2)
-        r = self.euclid_dist(X, X2)
-        s5 = np.sqrt(5.0)
-        return (
-            jnp.squeeze(self.variance.value)
-            * (1.0 + s5 * r + 5.0 / 3.0 * jnp.square(r))
-            * jnp.exp(-s5 * r)
-        )
 
 
 class Cosine(Stationary):

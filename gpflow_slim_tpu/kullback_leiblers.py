@@ -25,8 +25,8 @@ def gauss_kl(q_mu, q_sqrt, K=None):
     if K is None:
         alpha = q_mu  # K⁻¹ = I
     else:
-        jitter = config.default_jitter()
-        Lp = cholesky(K + jitter * jnp.eye(M, dtype=K.dtype), lower=True)
+        # K is expected PD already (callers add jitter), reference semantics
+        Lp = cholesky(K, lower=True)
         alpha = solve_triangular(Lp, q_mu, lower=True)
 
     # Mahalanobis term: q_muᵀ K⁻¹ q_mu

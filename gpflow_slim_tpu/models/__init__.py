@@ -1,4 +1,12 @@
 from .model import GPModel, Model
 from .gpr import GPR
+from .sgpr import GPRFITC, SGPR
+from .svgp import SVGP
+from .vgp import VGP
+from .gpmc import GPMC
+from .sgpmc import SGPMC
 
-__all__ = ["Model", "GPModel", "GPR"]
+__all__ = [
+    "Model", "GPModel", "GPR", "SGPR", "GPRFITC", "SVGP", "VGP", "GPMC",
+    "SGPMC",
+]

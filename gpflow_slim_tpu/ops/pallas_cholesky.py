@@ -1,0 +1,231 @@
+"""Blocked Cholesky factorization as a single Pallas (Mosaic) TPU kernel.
+
+Native-equivalent #2 of SURVEY §2.1: replaces ``tf.linalg.cholesky``
+(Eigen LLT / cuSOLVER potrf in the reference's runtime). Right-looking
+blocked algorithm, entirely on-chip control flow:
+
+  for k in 0..nb-1:
+    1. DMA the bs×bs diagonal block HBM→VMEM; factor it in VMEM with a
+       vectorized rank-1-update loop (VPU);
+    2. invert the bs×bs triangle once (row-substitution loop) so the panel
+       TRSM becomes a GEMM (MXU) — the classic trick;
+    3. panel: for each block below, DMA → multiply by Lkk⁻ᵀ (MXU) → DMA back;
+    4. trailing SYRK: for each (i,j) block of the trailing matrix,
+       C -= A·Bᵀ with three DMAs and one MXU matmul.
+
+The matrix lives in HBM (``pltpu.ANY``) and is factored in place via
+``input_output_aliases``; only bs×bs tiles ever touch VMEM, so N is bounded
+by HBM, not VMEM. O(N³/3) MXU flops — the flop count the full-slab XLA
+fallback (ops.blocked) triples.
+
+Backward: ``custom_vjp`` via the standard Cholesky-VJP formula evaluated
+with XLA ops (validated against ``jax.scipy`` in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _tril_mask(bs, dtype):
+    r = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    return (r >= c).astype(dtype)
+
+
+def _vmem_cholesky(a):
+    """Unblocked in-register Cholesky of a bs×bs SPD tile (lower).
+
+    Mosaic-friendly: no dynamic slicing on values — column j is selected and
+    written back with iota masks (the masked reductions are VPU-cheap
+    relative to the rank-1 update).
+    """
+    bs = a.shape[0]
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    rcol = r2[:, :1]  # (bs, 1) row indices
+
+    def body(j, a):
+        jj = ((r2 == j) & (c2 == j)).astype(a.dtype)
+        pivot = jnp.sqrt(jnp.sum(a * jj))
+        colsel = (c2 == j).astype(a.dtype)
+        col = jnp.sum(a * colsel, axis=1, keepdims=True) / pivot  # (bs, 1)
+        colm = jnp.where(rcol > j, col, 0.0)
+        Lcol = jnp.where(rcol == j, pivot, colm)
+        a = a - colm @ colm.T
+        a = jnp.where(c2 == j, Lcol, a)
+        return a
+
+    a = jax.lax.fori_loop(0, bs, body, a)
+    return a * _tril_mask(bs, a.dtype)
+
+
+def _vmem_tri_inverse(L):
+    """Z = L⁻¹ for a bs×bs lower triangle, by masked row substitution."""
+    bs = L.shape[0]
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    c1 = c2[:1, :]  # (1, bs) column indices
+
+    def body(j, Z):
+        rowsel = (r2 == j).astype(L.dtype)
+        Lrow = jnp.sum(L * rowsel, axis=0, keepdims=True)  # (1, bs)
+        Ljj = jnp.sum(L * ((r2 == j) & (c2 == j)).astype(L.dtype))
+        masked = jnp.where(c1 < j, Lrow, 0.0)  # strictly-left entries
+        e_j = (c1 == j).astype(L.dtype)
+        rhs = (e_j - masked @ Z) / Ljj
+        return jnp.where(r2 == j, rhs, Z)
+
+    Z0 = jnp.zeros_like(L)
+    return jax.lax.fori_loop(0, bs, body, Z0)
+
+
+def _make_chol_kernel(nb: int, bs: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(_, A, diag, zinv, pan, a_s, b_s, c_s, sem):
+        def blk(i, j):
+            return A.at[pl.ds(i * bs, bs), pl.ds(j * bs, bs)]
+
+        def copy_in(src_i, src_j, dst):
+            cp = pltpu.make_async_copy(blk(src_i, src_j), dst, sem)
+            cp.start()
+            cp.wait()
+
+        def copy_out(src, dst_i, dst_j):
+            cp = pltpu.make_async_copy(src, blk(dst_i, dst_j), sem)
+            cp.start()
+            cp.wait()
+
+        def step_k(k, _):
+            # 1) factor diagonal block
+            copy_in(k, k, diag)
+            Lkk = _vmem_cholesky(diag[:])
+            diag[:] = Lkk
+            copy_out(diag, k, k)
+            # 2) invert it once: panel TRSM becomes GEMM
+            zinv[:] = _vmem_tri_inverse(Lkk)
+
+            # 3) panel: L[i,k] = A[i,k] @ Lkk⁻ᵀ
+            def panel_body(i, _):
+                copy_in(i, k, pan)
+                pan[:] = jax.lax.dot_general(
+                    pan[:], zinv[:], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(pan.dtype)
+                copy_out(pan, i, k)
+                return 0
+
+            jax.lax.fori_loop(k + 1, nb, panel_body, 0)
+
+            # 4) trailing SYRK: A[i,j] -= L[i,k] @ L[j,k]ᵀ  (i ≥ j > k)
+            def trail_j(j, _):
+                copy_in(j, k, b_s)
+
+                def trail_i(i, _):
+                    copy_in(i, k, a_s)
+                    copy_in(i, j, c_s)
+                    c_s[:] = (
+                        c_s[:]
+                        - jax.lax.dot_general(
+                            a_s[:], b_s[:], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    ).astype(c_s.dtype)
+                    copy_out(c_s, i, j)
+                    return 0
+
+                jax.lax.fori_loop(j, nb, trail_i, 0)
+                return 0
+
+            jax.lax.fori_loop(k + 1, nb, trail_j, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nb, step_k, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
+def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N = K.shape[0]
+    bs = block_size
+    rem = (-N) % bs
+    if rem:
+        Kp = jnp.zeros((N + rem, N + rem), K.dtype)
+        Kp = Kp.at[:N, :N].set(K)
+        Kp = Kp.at[jnp.arange(N, N + rem), jnp.arange(N, N + rem)].set(1.0)
+    else:
+        Kp = K
+    Np = Kp.shape[0]
+    nb = Np // bs
+
+    out = pl.pallas_call(
+        _make_chol_kernel(nb, bs),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Np, Np), K.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bs, bs), K.dtype),  # diag
+            pltpu.VMEM((bs, bs), K.dtype),  # zinv
+            pltpu.VMEM((bs, bs), K.dtype),  # pan
+            pltpu.VMEM((bs, bs), K.dtype),  # a
+            pltpu.VMEM((bs, bs), K.dtype),  # b
+            pltpu.VMEM((bs, bs), K.dtype),  # c
+            pltpu.SemaphoreType.DMA,
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            has_side_effects=True,
+        ),
+    )(Kp)
+    return jnp.tril(out[:N, :N])
+
+
+def _chol_vjp_bwd(res, g):
+    # standard Cholesky VJP (Murray 2016), evaluated with XLA ops
+    L = res
+    from jax.scipy.linalg import solve_triangular
+
+    def phi(A):
+        return jnp.tril(A) - 0.5 * jnp.diag(jnp.diag(A))
+
+    Lbar = jnp.tril(g)
+    P = phi(L.T @ Lbar)
+    S = solve_triangular(
+        L, solve_triangular(L, P + P.T, lower=True, trans=1).T, lower=True,
+        trans=1,
+    )
+    # Murray (2016): Σ̄ = ½ L⁻ᵀ (P + Pᵀ) L⁻¹, symmetrized
+    Kbar = 0.25 * (S + S.T)
+    # convention: full-matrix gradient, symmetric (matches jax.scipy usage
+    # on symmetric inputs under symmetrization — see tests)
+    return (Kbar,)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def cholesky(K, block_size: int = 256):
+    """Lower Cholesky via the Pallas blocked kernel (TPU compiled path)."""
+    return _cholesky_pallas(K, block_size=block_size)
+
+
+def _fwd(K, block_size):
+    L = _cholesky_pallas(K, block_size=block_size)
+    return L, L
+
+
+cholesky.defvjp(_fwd, lambda bs, res, g: _chol_vjp_bwd(res, g))
+
+
+def cholesky_interpret(K, block_size: int = 64):
+    """Interpret-mode execution for CPU equivalence tests."""
+    return _cholesky_pallas(K, block_size=block_size, interpret=True)

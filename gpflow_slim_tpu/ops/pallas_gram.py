@@ -1,0 +1,163 @@
+"""Fused pairwise kernel-matrix (Gram) construction in Pallas (Mosaic).
+
+Native-equivalent #1 of SURVEY §2.1: replaces the reference's TF C++
+matmul+broadcast chain with one fused TPU kernel per output tile: the
+‖x‖² − 2·x·x'ᵀ + ‖x'‖² expansion rides the MXU, the elementwise kernel map
+(exp/Matérn/…) fuses into the same tile while it is in VMEM — one HBM
+round-trip for the whole Gram instead of separate dist/exp passes.
+
+Forward is Pallas; backward is a ``custom_vjp`` that reuses the XLA
+composite (jax.vjp of the jnp reference formula) — bitwise-validated against
+the stock path in tests (interpret mode on CPU, compiled on TPU).
+
+Supported stationary maps (static ``kind``):
+  rbf:      σ² exp(−d²/2)
+  matern12: σ² exp(−r)
+  matern32: σ² (1+√3r) exp(−√3r)
+  matern52: σ² (1+√5r+5r²/3) exp(−√5r)
+  exponential (GPflow-1.x quirk): σ² exp(−r/2)
+with r = sqrt(d² + 1e-12), matching kernels.py exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_EUCLID_EPS = 1e-12
+_KINDS = ("rbf", "matern12", "matern32", "matern52", "exponential")
+
+
+def _apply_map(kind, variance, d2):
+    if kind == "rbf":
+        return variance * jnp.exp(-0.5 * d2)
+    r = jnp.sqrt(d2 + _EUCLID_EPS)
+    if kind == "matern12":
+        return variance * jnp.exp(-r)
+    if kind == "matern32":
+        s3 = np.sqrt(3.0)
+        return variance * (1.0 + s3 * r) * jnp.exp(-s3 * r)
+    if kind == "matern52":
+        s5 = np.sqrt(5.0)
+        return variance * (1.0 + s5 * r + 5.0 / 3.0 * d2) * jnp.exp(-s5 * r)
+    if kind == "exponential":
+        return variance * jnp.exp(-0.5 * r)
+    raise ValueError(f"unknown kind {kind!r}")
+
+
+def _gram_kernel(kind, x_ref, y_ref, var_ref, out_ref):
+    # x: (TM, D), y: (TN, D) — both pre-scaled by lengthscales
+    x = x_ref[:]
+    y = y_ref[:]
+    xs = jnp.sum(jnp.square(x), axis=1, keepdims=True)  # (TM, 1)
+    ys = jnp.sum(jnp.square(y), axis=1, keepdims=True)  # (TN, 1)
+    cross = jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TM, TN)
+    d2 = jnp.maximum(xs - 2.0 * cross + ys.T, 0.0)
+    out_ref[:] = _apply_map(kind, var_ref[0, 0], d2).astype(out_ref.dtype)
+
+
+def _pad_rows(X, mult):
+    n = X.shape[0]
+    rem = (-n) % mult
+    if rem == 0:
+        return X
+    return jnp.concatenate(
+        [X, jnp.zeros((rem, X.shape[1]), X.dtype)], axis=0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "tile"))
+def _gram_pallas(kind, Xs, X2s, variance, tile=256):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, D = Xs.shape
+    M = X2s.shape[0]
+    Xp = _pad_rows(Xs, tile)
+    Yp = _pad_rows(X2s, tile)
+    Np, Mp = Xp.shape[0], Yp.shape[0]
+    var = jnp.reshape(variance.astype(Xs.dtype), (1, 1))
+
+    out = pl.pallas_call(
+        functools.partial(_gram_kernel, kind),
+        grid=(Np // tile, Mp // tile),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, Mp), Xs.dtype),
+    )(Xp, Yp, var)
+    return out[:N, :M]
+
+
+def _gram_reference(kind, Xs, X2s, variance):
+    """The jnp composite (matches kernels.Stationary math exactly)."""
+    xs = jnp.sum(jnp.square(Xs), axis=-1)
+    ys = jnp.sum(jnp.square(X2s), axis=-1)
+    d2 = jnp.maximum(
+        xs[:, None] - 2.0 * (Xs @ X2s.T) + ys[None, :], 0.0
+    )
+    return _apply_map(kind, variance, d2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stationary_gram(kind, Xs, X2s, variance):
+    """Fused Gram K(Xs, X2s) with pre-scaled inputs; differentiable.
+
+    ``Xs = X / lengthscales`` (caller handles ARD scaling so lengthscale
+    grads flow through the scaling op outside the kernel).
+    """
+    return _gram_pallas(kind, Xs, X2s, variance)
+
+
+def _fwd(kind, Xs, X2s, variance):
+    return _gram_pallas(kind, Xs, X2s, variance), (Xs, X2s, variance)
+
+
+def _bwd(kind, res, g):
+    Xs, X2s, variance = res
+    _, vjp = jax.vjp(
+        lambda a, b, v: _gram_reference(kind, a, b, v), Xs, X2s, variance
+    )
+    return vjp(g)
+
+
+stationary_gram.defvjp(_fwd, _bwd)
+
+
+def gram_interpret_mode(kind, Xs, X2s, variance, tile=128):
+    """Interpret-mode execution for CPU equivalence tests."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, D = Xs.shape
+    M = X2s.shape[0]
+    Xp = _pad_rows(Xs, tile)
+    Yp = _pad_rows(X2s, tile)
+    Np, Mp = Xp.shape[0], Yp.shape[0]
+    var = jnp.reshape(jnp.asarray(variance, Xs.dtype), (1, 1))
+
+    out = pl.pallas_call(
+        functools.partial(_gram_kernel, kind),
+        grid=(Np // tile, Mp // tile),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda i, j: (i, 0)),
+            pl.BlockSpec((tile, D), lambda i, j: (j, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Np, Mp), Xs.dtype),
+        interpret=True,
+    )(Xp, Yp, var)
+    return out[:N, :M]

@@ -1,0 +1,160 @@
+"""MCMC statistical tests: known posteriors within MC error (SURVEY §4),
+plus GP hyperparameter sampling end-to-end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpflow_slim_tpu as gfs
+from gpflow_slim_tpu import mcmc
+
+
+def gauss_logprob(mu, var):
+    mu = jnp.asarray(mu)
+    var = jnp.asarray(var)
+
+    def lp(x):
+        return jnp.sum(-0.5 * jnp.square(x - mu) / var - 0.5 * jnp.log(var))
+
+    return lp
+
+
+def test_hmc_standard_normal_moments():
+    lp = gauss_logprob(jnp.array([1.0, -2.0]), jnp.array([1.0, 0.25]))
+    samples, info = jax.jit(
+        lambda k: mcmc.hmc(lp, jnp.zeros(2), k, num_samples=4000,
+                           epsilon=0.3, lmin=5, lmax=15, burn=500)
+    )(jax.random.PRNGKey(0))
+    s = np.asarray(samples)
+    assert float(info["accept_rate"]) > 0.6
+    np.testing.assert_allclose(s.mean(0), [1.0, -2.0], atol=0.12)
+    np.testing.assert_allclose(s.var(0), [1.0, 0.25], rtol=0.25)
+
+
+def test_hmc_step_size_adaptation():
+    lp = gauss_logprob(0.0, 1.0)
+    _, info = jax.jit(
+        lambda k: mcmc.hmc(lp, jnp.zeros(1), k, num_samples=500,
+                           epsilon=1e-4, burn=800, adapt_step_size=True)
+    )(jax.random.PRNGKey(1))
+    # dual averaging should raise the tiny step size drastically
+    assert float(info["epsilon"]) > 0.01
+    assert 0.4 < float(info["accept_rate"]) <= 1.0
+
+
+def test_nuts_correlated_gaussian():
+    # 3-D correlated Gaussian; NUTS with warmup must recover moments
+    rng = np.random.RandomState(0)
+    A = rng.randn(3, 3)
+    cov = A @ A.T + 3 * np.eye(3)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray([0.5, -1.0, 2.0])
+
+    def lp(x):
+        d = x - mu
+        return -0.5 * d @ prec @ d
+
+    samples, info = jax.jit(
+        lambda k: mcmc.nuts(lp, jnp.zeros(3), k, num_samples=3000,
+                            num_warmup=800)
+    )(jax.random.PRNGKey(2))
+    s = np.asarray(samples)
+    assert not np.asarray(info["diverging"]).any()
+    np.testing.assert_allclose(s.mean(0), np.asarray(mu), atol=0.15)
+    np.testing.assert_allclose(s.var(0), np.diag(cov), rtol=0.3)
+    # mass adaptation should be in the posterior-variance ballpark
+    np.testing.assert_allclose(
+        np.asarray(info["inv_mass"]), np.diag(cov), rtol=0.8
+    )
+
+
+def test_nuts_funnel_samples_without_nan():
+    # Neal's funnel is the classic NUTS stress test
+    def lp(x):
+        v = x[0]
+        theta = x[1:]
+        lp_v = -0.5 * (v / 3.0) ** 2
+        lp_t = jnp.sum(-0.5 * jnp.square(theta) / jnp.exp(v) - 0.5 * v)
+        return lp_v + lp_t
+
+    samples, info = jax.jit(
+        lambda k: mcmc.nuts(lp, jnp.zeros(4), k, num_samples=1500,
+                            num_warmup=800, max_depth=8)
+    )(jax.random.PRNGKey(3))
+    s = np.asarray(samples)
+    assert np.isfinite(s).all()
+    # v marginal is N(0, 9): loose check that we explore the funnel neck
+    assert abs(s[:, 0].mean()) < 1.2
+    assert s[:, 0].std() > 1.5
+
+
+def test_vmapped_chains_and_diagnostics():
+    lp = gauss_logprob(jnp.array([0.0]), jnp.array([2.0]))
+    n_chains = 4
+    keys = jax.random.split(jax.random.PRNGKey(4), n_chains)
+    x0 = jnp.zeros((n_chains, 1))
+    samples, info = jax.jit(
+        jax.vmap(lambda x, k: mcmc.nuts(lp, x, k, num_samples=1000,
+                                        num_warmup=400))
+    )(x0, keys)
+    s = np.asarray(samples)  # (C, N, 1)
+    rhat = mcmc.potential_scale_reduction(s)
+    ess = mcmc.effective_sample_size(s)
+    assert rhat[0] < 1.05
+    assert ess[0] > 400
+    np.testing.assert_allclose(s.reshape(-1).var(), 2.0, rtol=0.25)
+
+
+def test_gpr_hyperparameter_posterior_nuts():
+    # BASELINE config #4 (scaled down): NUTS over GPR kernel hyperparams
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0, 1, (40, 1))
+    Y = np.sin(6 * X) + 0.2 * rng.randn(40, 1)
+    k = gfs.kernels.RBF(1, lengthscales=0.3)
+    k.variance = gfs.params.Param(
+        1.0, transform=gfs.transforms.positive(),
+        prior=gfs.priors.LogNormal(0.0, 1.0), name="variance")
+    k.lengthscales = gfs.params.Param(
+        0.3, transform=gfs.transforms.positive(),
+        prior=gfs.priors.LogNormal(-1.0, 1.0), name="lengthscales")
+    m = gfs.models.GPR(X, Y, kern=k)
+    m.likelihood.variance = gfs.params.Param(
+        0.05, transform=gfs.transforms.positive(),
+        prior=gfs.priors.LogNormal(-2.0, 1.0), name="noise")
+
+    lp, x0, unpack = mcmc.model_logprob(m)
+    samples, info = jax.jit(
+        lambda key: mcmc.nuts(lp, x0, key, num_samples=400, num_warmup=300)
+    )(jax.random.PRNGKey(5))
+    s = np.asarray(samples)
+    assert np.isfinite(s).all()
+    assert not np.asarray(info["diverging"]).any()
+    # constrained noise posterior should concentrate near the true 0.04
+    noise_samples = np.asarray(
+        jax.vmap(lambda v: unpack(v).likelihood.variance.value)(samples)
+    )
+    med = np.median(noise_samples)
+    assert 0.01 < med < 0.15
+
+
+def test_gpmc_binary_classification_smoke():
+    # non-conjugate GPMC + Bernoulli, HMC over latents+hypers
+    rng = np.random.RandomState(1)
+    X = rng.uniform(-1, 1, (25, 1))
+    Y = (np.sin(3 * X) > 0).astype(float)
+    m = gfs.models.GPMC(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.5),
+                        likelihood=gfs.likelihoods.Bernoulli())
+    lp, x0, unpack = mcmc.model_logprob(m)
+    samples, info = jax.jit(
+        lambda key: mcmc.hmc(lp, x0, key, num_samples=300, epsilon=0.03,
+                             lmin=5, lmax=15, burn=200)
+    )(jax.random.PRNGKey(6))
+    assert np.isfinite(np.asarray(samples)).all()
+    assert float(info["accept_rate"]) > 0.3
+    # posterior predictive at train points should correlate with labels
+    m_post = unpack(jnp.asarray(np.asarray(samples)[-1]))
+    pf, _ = m_post.predict_f(X)
+    corr = np.corrcoef(np.asarray(pf)[:, 0], 2 * Y[:, 0] - 1)[0, 1]
+    assert corr > 0.5

@@ -1,0 +1,117 @@
+"""Pallas-kernel vs XLA-op equivalence (SURVEY §4 new test class).
+
+On CPU the kernels run in interpreter mode — same kernel code, same DMAs,
+same control flow as the compiled TPU path, minus Mosaic lowering.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpflow_slim_tpu as gfs
+from gpflow_slim_tpu.ops import pallas_cholesky, pallas_gram, pallas_trsm
+
+rng = np.random.RandomState(0)
+
+
+def spd(N, dtype=np.float32):
+    A = rng.randn(N, N).astype(dtype)
+    return A @ A.T + N * np.eye(N, dtype=dtype)
+
+
+@pytest.mark.parametrize("kind", ["rbf", "matern12", "matern32", "matern52",
+                                  "exponential"])
+def test_gram_kernel_matches_reference(kind):
+    X = jnp.asarray(rng.randn(200, 3), jnp.float32)
+    Y = jnp.asarray(rng.randn(130, 3), jnp.float32)
+    out = pallas_gram.gram_interpret_mode(kind, X, Y, 1.3)
+    ref = pallas_gram._gram_reference(kind, X, Y, jnp.float32(1.3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_gram_matches_kernel_class_math():
+    # the jnp composite must match kernels.RBF exactly (same formula)
+    X = rng.randn(50, 2)
+    k = gfs.kernels.RBF(2, variance=1.7, lengthscales=0.6)
+    Xs = X / 0.6
+    ref = pallas_gram._gram_reference(
+        "rbf", jnp.asarray(Xs), jnp.asarray(Xs), jnp.asarray(1.7)
+    )
+    np.testing.assert_allclose(
+        np.asarray(k.K(jnp.asarray(X))), np.asarray(ref), rtol=1e-10
+    )
+
+
+@pytest.mark.parametrize("N,bs", [(64, 64), (128, 64), (200, 64)])
+def test_pallas_cholesky_matches_numpy(N, bs):
+    K = spd(N)
+    L = np.asarray(pallas_cholesky.cholesky_interpret(jnp.asarray(K),
+                                                      block_size=bs))
+    Lref = np.linalg.cholesky(K.astype(np.float64))
+    assert np.abs(L - Lref).max() / np.abs(Lref).max() < 1e-5
+    assert np.abs(np.triu(L, 1)).max() == 0.0
+
+
+def test_pallas_cholesky_vjp_matches_xla():
+    N = 48
+    K = jnp.asarray(spd(N, np.float64))
+
+    def f_pallas(K):
+        L = pallas_cholesky.cholesky_interpret(K, block_size=16)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(L * 0.01)
+
+    # custom_vjp is attached to `cholesky`, which calls the compiled path;
+    # emulate by differentiating the interpret forward through the same vjp
+    L = pallas_cholesky.cholesky_interpret(K, block_size=16)
+    g = jnp.tril(0.01 * jnp.ones_like(L)) + jnp.diag(1.0 / jnp.diagonal(L))
+    (dK_pallas,) = pallas_cholesky._chol_vjp_bwd(L, g)
+
+    def f_xla(K):
+        L = jax.scipy.linalg.cholesky(K, lower=True)
+        return jnp.sum(jnp.log(jnp.diagonal(L))) + jnp.sum(
+            jnp.tril(L) * 0.01
+        )
+
+    dK_xla = jax.grad(f_xla)(K)
+    s1 = 0.5 * (dK_pallas + dK_pallas.T)
+    s2 = 0.5 * (dK_xla + dK_xla.T)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-8)
+
+
+@pytest.mark.parametrize("N,P", [(128, 64), (200, 7), (64, 130)])
+def test_pallas_trsm_matches_numpy(N, P):
+    A = rng.randn(N, N).astype(np.float32)
+    L = np.tril(A) + N * np.eye(N, dtype=np.float32)
+    B = rng.randn(N, P).astype(np.float32)
+    X1 = np.asarray(pallas_trsm.solve_lower_interpret(jnp.asarray(L),
+                                                      jnp.asarray(B)))
+    np.testing.assert_allclose(X1, np.linalg.solve(L.astype(np.float64), B),
+                               atol=1e-6)
+    X2 = np.asarray(pallas_trsm.solve_upper_interpret(jnp.asarray(L.T),
+                                                      jnp.asarray(B)))
+    np.testing.assert_allclose(X2, np.linalg.solve(L.T.astype(np.float64), B),
+                               atol=1e-6)
+
+
+def test_trsm_vector_rhs():
+    N = 64
+    A = rng.randn(N, N).astype(np.float32)
+    L = np.tril(A) + N * np.eye(N, dtype=np.float32)
+    b = rng.randn(N).astype(np.float32)
+    x = np.asarray(pallas_trsm.solve_lower_interpret(jnp.asarray(L),
+                                                     jnp.asarray(b)))
+    assert x.shape == (N,)
+    np.testing.assert_allclose(x, np.linalg.solve(L.astype(np.float64), b),
+                               atol=1e-6)
+
+
+def test_use_pallas_flag_routing_cpu_noop():
+    # on CPU the flag must leave the stock XLA path active (no crash)
+    X = rng.randn(30, 1)
+    Y = rng.randn(30, 1)
+    with gfs.temp_settings(use_pallas=True):
+        m = gfs.models.GPR(X, Y, kern=gfs.kernels.RBF(1))
+        v = float(m.objective())
+    m2 = gfs.models.GPR(X, Y, kern=gfs.kernels.RBF(1))
+    assert abs(v - float(m2.objective())) < 1e-10

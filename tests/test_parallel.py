@@ -1,0 +1,195 @@
+"""Sharding-layer tests on the 8-virtual-device CPU mesh (SURVEY §4):
+single-chip-vs-sharded consistency, ring Gram, distributed Cholesky,
+data-parallel SVGP, chain parallelism.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpflow_slim_tpu as gfs
+from gpflow_slim_tpu import parallel
+from gpflow_slim_tpu.ops import blocked
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    return parallel.make_mesh({"data": 8})
+
+
+def test_blocked_cholesky_matches_xla():
+    rng = np.random.RandomState(0)
+    A = rng.randn(96, 96)
+    K = A @ A.T + 96 * np.eye(96)
+    L = np.asarray(blocked.blocked_cholesky(jnp.asarray(K), block_size=32))
+    L_ref = np.linalg.cholesky(K)
+    np.testing.assert_allclose(L, L_ref, atol=1e-8)
+
+
+def test_blocked_solves_match():
+    rng = np.random.RandomState(1)
+    A = rng.randn(64, 64)
+    K = A @ A.T + 64 * np.eye(64)
+    L = np.linalg.cholesky(K)
+    B = rng.randn(64, 3)
+    X1 = np.asarray(blocked.blocked_solve_lower(jnp.asarray(L), jnp.asarray(B),
+                                                block_size=16))
+    np.testing.assert_allclose(X1, np.linalg.solve(L, B), atol=1e-8)
+    X2 = np.asarray(blocked.blocked_solve_upper(jnp.asarray(L.T),
+                                                jnp.asarray(B), block_size=16))
+    np.testing.assert_allclose(X2, np.linalg.solve(L.T, B), atol=1e-8)
+
+
+def test_blocked_cholesky_grad_matches_xla():
+    rng = np.random.RandomState(2)
+    A = rng.randn(32, 32)
+    K = jnp.asarray(A @ A.T + 32 * np.eye(32))
+
+    def f_blocked(K):
+        return jnp.sum(jnp.log(jnp.diagonal(
+            blocked.blocked_cholesky(K, block_size=8))))
+
+    def f_xla(K):
+        return jnp.sum(jnp.log(jnp.diagonal(
+            jax.scipy.linalg.cholesky(K, lower=True))))
+
+    # gradient conventions differ in how sensitivity is split across the two
+    # (redundant) triangles of the symmetric input; the contract is the
+    # symmetrized gradient, which must equal XLA's and analytically ½K⁻¹
+    g1 = np.asarray(jax.grad(f_blocked)(K))
+    g2 = np.asarray(jax.grad(f_xla)(K))
+    s1, s2 = 0.5 * (g1 + g1.T), 0.5 * (g2 + g2.T)
+    np.testing.assert_allclose(s1, s2, atol=1e-10)
+    np.testing.assert_allclose(
+        s1, 0.5 * np.linalg.inv(np.asarray(K)), atol=1e-10
+    )
+
+
+def test_ring_gram_matches_direct(mesh):
+    rng = np.random.RandomState(3)
+    X = rng.randn(48, 2)
+    kern = gfs.kernels.RBF(2, variance=1.4, lengthscales=0.7)
+    K_ring = np.asarray(parallel.ring_gram(kern, jnp.asarray(X), mesh,
+                                           axis="data"))
+    K_direct = np.asarray(kern.K(jnp.asarray(X)))
+    np.testing.assert_allclose(K_ring, K_direct, atol=1e-10)
+
+
+def test_ring_gram_matvec(mesh):
+    rng = np.random.RandomState(4)
+    X = rng.randn(40, 2)
+    v = rng.randn(40, 2)
+    kern = gfs.kernels.Matern32(2)
+    out = np.asarray(parallel.ring_gram_matvec(
+        kern, jnp.asarray(X), jnp.asarray(v), mesh, axis="data", noise=0.3))
+    expected = np.asarray(kern.K(jnp.asarray(X))) @ v + 0.3 * v
+    np.testing.assert_allclose(out, expected, atol=1e-9)
+
+
+def test_distributed_gpr_mll_matches_single_device(mesh):
+    # bit-level single-vs-sharded consistency (same math, same layout)
+    rng = np.random.RandomState(5)
+    N = 64
+    X = rng.uniform(0, 1, (N, 1))
+    Y = np.sin(6 * X) + 0.1 * rng.randn(N, 1)
+    m = gfs.models.GPR(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.4))
+    lml_single = float(m.build_likelihood())
+    loss_fn = parallel.make_distributed_gpr_loss(m, mesh, axis="data",
+                                                 block_size=8)
+    lml_dist = -float(jax.jit(loss_fn)(m))
+    assert abs(lml_single - lml_dist) < 1e-8
+
+
+def test_distributed_gpr_grad_matches_single_device(mesh):
+    rng = np.random.RandomState(6)
+    N = 32
+    X = rng.uniform(0, 1, (N, 1))
+    Y = np.sin(6 * X) + 0.1 * rng.randn(N, 1)
+    m = gfs.models.GPR(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.4))
+    g_single = jax.grad(lambda mm: mm.objective())(m)
+    loss_fn = parallel.make_distributed_gpr_loss(m, mesh, axis="data",
+                                                 block_size=8)
+    g_dist = jax.jit(jax.grad(loss_fn))(m)
+    for a, b, mask in zip(
+        jax.tree_util.tree_leaves(g_single),
+        jax.tree_util.tree_leaves(g_dist),
+        gfs.params.trainable_leaf_mask(m),
+    ):
+        if mask:
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
+
+
+def test_dp_svgp_grad_matches_single_device(mesh):
+    rng = np.random.RandomState(7)
+    N = 64
+    X = rng.uniform(0, 1, (N, 2))
+    Y = (np.sin(4 * X[:, :1]) > 0).astype(float)
+    m = gfs.models.SVGP(X, Y, kern=gfs.kernels.RBF(2),
+                        likelihood=gfs.likelihoods.Bernoulli(),
+                        Z=X[:8].copy())
+    Xb, Yb = jnp.asarray(X[:32]), jnp.asarray(Y[:32])
+
+    def single_loss(mm):
+        return -(mm.build_likelihood_batch(Xb, Yb) + mm.log_prior())
+
+    l1, g1 = jax.value_and_grad(single_loss)(m)
+    l2, g2 = jax.jit(
+        lambda mm, xb, yb: parallel.dp_value_and_grad(mm, xb, yb, mesh,
+                                                      axis="data")
+    )(m, Xb, Yb)
+    assert abs(float(l1) - float(l2)) < 1e-9
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)
+
+
+def test_fit_svgp_sharded_trains(mesh):
+    rng = np.random.RandomState(8)
+    N = 256
+    X = rng.uniform(0, 1, (N, 1))
+    Y = (np.sin(8 * X) > 0).astype(float)
+    m = gfs.models.SVGP(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.3),
+                        likelihood=gfs.likelihoods.Bernoulli(),
+                        Z=np.linspace(0, 1, 16)[:, None])
+    before = float(m.objective())
+    m2, losses = parallel.fit_svgp(
+        m, num_steps=200, key=jax.random.PRNGKey(0), learning_rate=0.05,
+        batch_size=64, mesh=mesh, axis="data",
+    )
+    after = float(m2.objective())
+    assert after < before - 5.0
+
+
+def test_sharded_chains_match_moments(mesh):
+    def lp(x):
+        return jnp.sum(-0.5 * jnp.square(x - 2.0) / 0.5)
+
+    C = 8
+    x0s = jnp.zeros((C, 1))
+    samples, info = parallel.sample_chains(
+        lp, x0s, jax.random.PRNGKey(0), num_samples=500, sampler="nuts",
+        mesh=mesh, axis="data", num_warmup=300,
+    )
+    s = np.asarray(samples)
+    assert s.shape == (C, 500, 1)
+    rhat = gfs.mcmc.potential_scale_reduction(s)
+    assert rhat[0] < 1.05
+    np.testing.assert_allclose(s.mean(), 2.0, atol=0.1)
+    np.testing.assert_allclose(s.reshape(-1).var(), 0.5, rtol=0.3)
+    # shared adaptation => all chains share the same (pmean'd) step size
+    eps = np.asarray(info["step_size"])
+    np.testing.assert_allclose(eps, eps[0], rtol=1e-6)
+
+
+def test_vmap_chains_no_mesh():
+    def lp(x):
+        return jnp.sum(-0.5 * jnp.square(x))
+
+    samples, info = parallel.sample_chains(
+        lp, jnp.zeros((4, 2)), jax.random.PRNGKey(1), num_samples=300,
+        sampler="hmc", epsilon=0.5, burn=100,
+    )
+    assert np.asarray(samples).shape == (4, 300, 2)
