@@ -58,13 +58,58 @@ def main():
     def objective(m):
         return m.objective()
 
-    # compile + warm up
-    objective(model).block_until_ready()
+    # compile + warm up + correctness check vs the f64 oracle value
+    val = float(objective(model).block_until_ready())
+    if os.environ.get("BENCH_CHECK", "1") == "1":
+        from scipy.linalg import solve_triangular as _st
 
+        Xd = X.astype(np.float64) / 0.1
+        sq = (
+            (Xd**2).sum(1)[:, None] - 2 * Xd @ Xd.T + (Xd**2).sum(1)[None, :]
+        )
+        Kd = np.exp(-0.5 * np.maximum(sq, 0)) + np.eye(N)
+        Ld = np.linalg.cholesky(Kd)
+        al = _st(Ld, Y.astype(np.float64), lower=True)
+        oracle_val = -float(
+            -0.5 * N * np.log(2 * np.pi)
+            - np.log(np.diag(Ld)).sum()
+            - 0.5 * (al**2).sum()
+        )
+        rel = abs(val - oracle_val) / abs(oracle_val)
+        if rel > 0.01:
+            print(
+                f"# WARNING objective mismatch: device={val:.3f} "
+                f"oracle={oracle_val:.3f} rel={rel:.2e}",
+                file=sys.stderr,
+            )
+
+    # time R evals in ONE on-device lax.scan: each iteration perturbs a
+    # hyperparameter (defeats any caching) and the scan keeps the loop on
+    # the device, so dispatch/tunnel latency is amortized out — this
+    # measures device throughput, the number that matters for training
+    # loops (which are themselves scans).
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(model)
     reps = int(os.environ.get("BENCH_REPS", 10))
+
+    @jax.jit
+    def many_evals(leaves):
+        def body(carry, i):
+            pert = [
+                l + 1e-6 * (i + 1) if l.ndim == 0 else l for l in leaves
+            ]
+            m = jax.tree_util.tree_unflatten(treedef, pert)
+            return carry + m.objective(), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jnp.arange(reps)
+        )
+        return total
+
+    many_evals(leaves).block_until_ready()  # compile
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = objective(model)
+    out = many_evals(leaves)
     out.block_until_ready()
     evals_per_sec = reps / (time.perf_counter() - t0)
 

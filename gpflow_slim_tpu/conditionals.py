@@ -19,7 +19,8 @@ from jax.scipy.linalg import cholesky, solve_triangular
 
 from . import config
 
-__all__ = ["base_conditional", "conditional", "feature_conditional"]
+__all__ = ["base_conditional", "conditional", "feature_conditional",
+           "uncertain_conditional"]
 
 
 def base_conditional(Kmn, Kmm, Knn, f, *, full_cov=False, q_sqrt=None, white=False):
@@ -70,6 +71,127 @@ def conditional(Xnew, X, kern, f, *, full_cov=False, q_sqrt=None, white=False):
     return base_conditional(
         Kmn, Kmm, Knn, f, full_cov=full_cov, q_sqrt=q_sqrt, white=white
     )
+
+
+def _rbf_psi_stats(kern, Z, Xmu, Xvar):
+    """Closed-form RBF kernel expectations under q(x) = N(Xmu, diag(Xvar)).
+
+    Returns (ψ0 scalar, ψ1 (N, M), ψ2 (N, M, M)):
+      ψ0    = E[k(x,x)] = σ²
+      ψ1_nm = E[k(x_n, z_m)]
+      ψ2_nmm' = E[k(x_n, z_m) k(x_n, z_m')]
+    (Titsias/GPLVM psi-statistics; diagonal input covariance.)
+    """
+    var = jnp.squeeze(kern.variance.value)
+    ls2 = jnp.square(kern.lengthscales.value)  # (D,) or scalar
+    D = Z.shape[1]
+    ls2 = jnp.broadcast_to(ls2, (D,))
+
+    psi0 = var
+
+    # ψ1: denom_d = Xvar_d + ℓ²_d
+    denom1 = Xvar + ls2[None, :]  # (N, D)
+    d1 = jnp.square(Xmu[:, None, :] - Z[None, :, :]) / denom1[:, None, :]
+    log_det1 = 0.5 * jnp.sum(jnp.log(Xvar / ls2[None, :] + 1.0), axis=-1)
+    psi1 = var * jnp.exp(-0.5 * jnp.sum(d1, axis=-1) - log_det1[:, None])
+
+    # ψ2: cross term between z_m and z_m'
+    Zbar = 0.5 * (Z[:, None, :] + Z[None, :, :])  # (M, M, D)
+    dZ = jnp.square(Z[:, None, :] - Z[None, :, :]) / ls2[None, None, :]
+    denom2 = Xvar[:, None, None, :] + 0.5 * ls2[None, None, None, :]
+    dmu = (
+        jnp.square(Xmu[:, None, None, :] - Zbar[None, :, :, :]) / denom2
+    )
+    log_det2 = 0.5 * jnp.sum(
+        jnp.log(2.0 * Xvar / ls2[None, :] + 1.0), axis=-1
+    )  # (N,)
+    psi2 = (
+        jnp.square(var)
+        * jnp.exp(
+            -0.25 * jnp.sum(dZ, axis=-1)[None, :, :]
+            - 0.5 * jnp.sum(dmu, axis=-1)
+            - log_det2[:, None, None]
+        )
+    )
+    return psi0, psi1, psi2
+
+
+def uncertain_conditional(Xnew_mu, Xnew_var, feat, kern, q_mu, q_sqrt, *,
+                          mean_function=None, white=False):
+    """Predictive moments of f* when the INPUT is uncertain:
+    x* ~ N(Xnew_mu, diag(Xnew_var)) (moment matching / GP-LVM psi-statistics).
+
+    Supported for RBF kernels with InducingPoints (closed forms); other
+    combinations raise. Returns (mean (N, P), var (N, P)).
+    ref:gpflowSlim/conditionals.py ``uncertain_conditional`` role.
+    """
+    from . import features as features_mod
+    from . import kernels as kernels_mod
+
+    if not isinstance(kern, kernels_mod.RBF):
+        raise NotImplementedError(
+            "uncertain_conditional requires an RBF kernel"
+        )
+    if not isinstance(feat, features_mod.InducingPoints):
+        raise NotImplementedError(
+            "uncertain_conditional requires InducingPoints"
+        )
+    if mean_function is not None:
+        raise NotImplementedError(
+            "uncertain_conditional supports Zero mean only"
+        )
+
+    Z = feat.Z.value
+    M = Z.shape[0]
+    P = q_mu.shape[1]
+    jitter = config.default_jitter()
+    Kuu = kern.K(Z) + jitter * jnp.eye(M, dtype=Z.dtype)
+    Luu = cholesky(Kuu, lower=True)
+
+    # express q(u) in unwhitened u-space
+    if q_sqrt.ndim == 2:
+        Sq = jax.vmap(jnp.diag)(q_sqrt.T)  # (P, M, M)
+    else:
+        Sq = jnp.tril(q_sqrt)
+    if white:
+        mu_u = Luu @ q_mu
+        Lq_u = jax.vmap(lambda Sp: Luu @ Sp)(Sq)
+    else:
+        mu_u = q_mu
+        Lq_u = Sq
+    cov_u = Lq_u @ jnp.swapaxes(Lq_u, -1, -2)  # (P, M, M)
+
+    psi0, psi1, psi2 = _rbf_psi_stats(kern, Z, Xnew_mu, Xnew_var)
+
+    # α_p = Kuu⁻¹ mu_u (M, P)
+    Kinv_mu = solve_triangular(
+        Luu.T, solve_triangular(Luu, mu_u, lower=True), lower=False
+    )
+    mean = psi1 @ Kinv_mu  # (N, P)
+
+    # tr(Kuu⁻¹ ψ2[n]): solve per n
+    def kinv(Mx):
+        return solve_triangular(
+            Luu.T, solve_triangular(Luu, Mx, lower=True), lower=False
+        )
+
+    Kinv_psi2_tr = jax.vmap(lambda P2: jnp.trace(kinv(P2)))(psi2)  # (N,)
+
+    # B_p = Kuu⁻¹ (mu_p mu_pᵀ + cov_p) Kuu⁻¹ ; tr(B_p ψ2[n])
+    def B_for_output(mu_p, cov_p):
+        Mmat = jnp.outer(mu_p, mu_p) + cov_p
+        return kinv(kinv(Mmat).T).T  # Kuu⁻¹ M Kuu⁻¹ (symmetric)
+
+    B = jax.vmap(B_for_output)(mu_u.T, cov_u)  # (P, M, M)
+    tr_B_psi2 = jnp.einsum("pij,nij->np", B, psi2)  # (N, P)
+
+    var = (
+        psi0
+        - Kinv_psi2_tr[:, None]
+        + tr_B_psi2
+        - jnp.square(mean)
+    )
+    return mean, var
 
 
 def feature_conditional(Xnew, feat, kern, f, *, full_cov=False, q_sqrt=None,

@@ -72,6 +72,11 @@ class Kernel(Module):
 
     # -- input slicing -----------------------------------------------------
     def _slice(self, X, X2):
+        # coerce raw user inputs to the working float type (avoids silent
+        # f64-numpy → f32-jax downcast warnings on every predict call)
+        dtype = config.default_float()
+        X = jnp.asarray(X, dtype)
+        X2 = X2 if X2 is None else jnp.asarray(X2, dtype)
         ad = self.active_dims
         if ad is None:
             X = X[..., : self.input_dim]

@@ -1,5 +1,6 @@
 from .model import GPModel, Model
 from .gpr import GPR
+from .cg_gpr import GPRCG
 from .sgpr import GPRFITC, SGPR
 from .svgp import SVGP
 from .vgp import VGP
@@ -7,6 +8,6 @@ from .gpmc import GPMC
 from .sgpmc import SGPMC
 
 __all__ = [
-    "Model", "GPModel", "GPR", "SGPR", "GPRFITC", "SVGP", "VGP", "GPMC",
-    "SGPMC",
+    "Model", "GPModel", "GPR", "GPRCG", "SGPR", "GPRFITC", "SVGP", "VGP",
+    "GPMC", "SGPMC",
 ]

@@ -1,0 +1,152 @@
+"""GPRCG: exact-GP regression with iterative (CG/SLQ) inference.
+
+The GPyTorch BBMM recipe (PAPERS.md: Gardner et al. 2018; preconditioning
+2021): the marginal likelihood and its gradients never factorize K —
+
+  forward:  α = A⁻¹y by preconditioned CG;  logdet A by SLQ;
+            mll = −½ yᵀα − ½ logdet A − N/2 log 2π
+  backward: dmll/dθ = ½ αᵀ(dA/dθ)α − ½·(1/P)Σᵢ uᵢᵀ(dA/dθ)zᵢ
+            with probe solves uᵢ = A⁻¹zᵢ reused from the forward pass —
+            implemented as a ``custom_vjp`` whose backward differentiates
+            only quadratic forms (stop-gradded solves), exactly the BBMM
+            trick. O(N²·iters) instead of O(N³), every flop a GEMM.
+
+The logdet (and hence the loss value) is stochastic but its *gradient*
+estimator is unbiased — optimization quality matches Cholesky-GPR in
+expectation. Predictions use CG solves against the training system.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..likelihoods import Gaussian
+from ..ops.iterative import batched_cg, pivoted_cholesky, slq_logdet, \
+    woodbury_solve_fn
+from .model import GPModel
+
+
+def _make_A_matvec(K, noise):
+    return lambda v: K @ v + noise * v
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _cg_mll(kern, noise, X, err, num_probes, cg_iters, slq_steps,
+            precond_rank):
+    mll, _ = _cg_mll_fwd(kern, noise, X, err, num_probes, cg_iters,
+                         slq_steps, precond_rank)
+    return mll
+
+
+def _cg_mll_fwd(kern, noise, X, err, num_probes, cg_iters, slq_steps,
+                precond_rank):
+    N = X.shape[0]
+    num_out = err.shape[1]
+    K = kern.K(X)
+    mv = _make_A_matvec(K, noise)
+
+    if precond_rank > 0:
+        Lpre = pivoted_cholesky(K, precond_rank)
+        pre = woodbury_solve_fn(Lpre, noise)
+    else:
+        pre = None
+
+    alpha, _ = batched_cg(mv, err, max_iters=cg_iters, precond=pre)
+
+    # SLQ logdet with a fixed key — deterministic across fwd/bwd pairs
+    key = jax.random.PRNGKey(0)
+    logdet = slq_logdet(mv, N, key, num_probes=num_probes,
+                        num_steps=slq_steps, dtype=err.dtype)
+
+    # probe solves for the backward trace estimator
+    Z = jax.random.rademacher(
+        jax.random.PRNGKey(1), (N, num_probes), dtype=err.dtype
+    )
+    U, _ = batched_cg(mv, Z, max_iters=cg_iters, precond=pre)
+
+    quad = jnp.sum(err * alpha)
+    mll = (
+        -0.5 * quad
+        - 0.5 * num_out * logdet
+        - 0.5 * N * num_out * jnp.log(2.0 * jnp.pi)
+    )
+    res = (kern, noise, X, err, alpha, Z, U)
+    return mll, res
+
+
+def _cg_mll_bwd(num_probes, cg_iters, slq_steps, precond_rank, res, g):
+    kern, noise, X, err, alpha, Z, U = res
+    num_out = err.shape[1]
+    alpha = jax.lax.stop_gradient(alpha)
+    Z = jax.lax.stop_gradient(Z)
+    U = jax.lax.stop_gradient(U)
+
+    def surrogate(kern, noise, X, err):
+        K = kern.K(X)
+        # ½ αᵀ A α  (gradient wrt θ equals ½ αᵀ dA α; the err-dependence
+        # of the quad term enters through the −yᵀα path below)
+        Aalpha = K @ alpha + noise * alpha
+        t_quad = 0.5 * jnp.sum(alpha * Aalpha)
+        # −½ tr(A⁻¹ dA): Hutchinson with the stored solves
+        AZ = K @ Z + noise * Z
+        t_trace = -0.5 * num_out * jnp.sum(U * AZ) / num_probes
+        # −yᵀ α  (direct err dependence of −½ yᵀ A⁻¹ y = −½ errᵀα;
+        # d/d err of (−½ errᵀ A⁻¹ err) = −A⁻¹ err = −α)
+        t_err = -jnp.sum(err * alpha)
+        return t_quad + t_trace + t_err
+
+    grads = jax.grad(surrogate, argnums=(0, 1, 2, 3))(kern, noise, X, err)
+    return tuple(jax.tree_util.tree_map(lambda a: a * g, grads))
+
+
+_cg_mll.defvjp(_cg_mll_fwd, _cg_mll_bwd)
+
+
+class GPRCG(GPModel):
+    """Exact GPR with CG/SLQ inference (matrix-free marginal likelihood).
+
+    Same API as GPR; ``build_likelihood`` is a stochastic estimate of the
+    log marginal likelihood with unbiased gradients. ``num_probes``,
+    ``cg_iters``, ``slq_steps``, ``precond_rank`` trade accuracy/compute.
+    """
+
+    def __init__(self, X, Y, kern, mean_function=None, num_probes=16,
+                 cg_iters=100, slq_steps=25, precond_rank=0, name="gprcg"):
+        likelihood = Gaussian(name=f"{name}/likelihood")
+        super().__init__(X, Y, kern, likelihood, mean_function, name=name)
+        self.num_probes = int(num_probes)
+        self.cg_iters = int(cg_iters)
+        self.slq_steps = int(slq_steps)
+        self.precond_rank = int(precond_rank)
+
+    def build_likelihood(self):
+        noise = jnp.squeeze(self.likelihood.variance.value)
+        err = self.Y - self.mean_function(self.X)
+        return _cg_mll(
+            self.kern, noise, self.X, err,
+            self.num_probes, self.cg_iters, self.slq_steps,
+            self.precond_rank,
+        )
+
+    def build_predict(self, Xnew, full_cov=False):
+        if full_cov:
+            raise NotImplementedError(
+                "GPRCG predicts marginal variances only (use GPR for "
+                "full covariances)"
+            )
+        noise = jnp.squeeze(self.likelihood.variance.value)
+        K = self.kern.K(self.X)
+        mv = _make_A_matvec(K, noise)
+        err = self.Y - self.mean_function(self.X)
+        alpha, _ = batched_cg(mv, err, max_iters=self.cg_iters)
+        Kx = self.kern.K(self.X, Xnew)  # (N, N*)
+        fmean = Kx.T @ alpha + self.mean_function(Xnew)
+        # marginal variances: v_i = k** − kₓᵢᵀ A⁻¹ kₓᵢ via CG on the columns
+        W, _ = batched_cg(mv, Kx, max_iters=self.cg_iters)
+        fvar = self.kern.Kdiag(Xnew) - jnp.sum(Kx * W, axis=0)
+        fvar = jnp.tile(fvar[:, None], (1, self.num_latent))
+        return fmean, fvar

@@ -45,6 +45,13 @@ class Model(Module):
         """build_likelihood + log_prior (for MCMC); = −objective."""
         return self.build_likelihood() + self.log_prior()
 
+    # reference-API aliases (GPflow-1.x `compute_*` autoflow names)
+    def compute_log_likelihood(self):
+        return self.build_likelihood()
+
+    def compute_log_prior(self):
+        return self.log_prior()
+
 
 class GPModel(Model):
     def __init__(self, X, Y, kern, likelihood, mean_function=None,

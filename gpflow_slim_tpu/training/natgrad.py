@@ -39,7 +39,10 @@ def _sym(A):
 
 
 def _chol_batched(S):
-    return jax.vmap(lambda s: jnp.linalg.cholesky(s))(_sym(S))
+    # no jitter: exactness of the conjugate one-step jump depends on these
+    # roundtrips; non-PD intermediates are handled by γ-backtracking in
+    # natgrad_step (a failed chol yields NaNs, which trigger the retry)
+    return jax.vmap(jnp.linalg.cholesky)(_sym(S))
 
 
 def _xi_to_expectation(m, L):
@@ -71,7 +74,7 @@ def _natural_to_xi(nat1, nat2):
     Sinv = -2.0 * _sym(nat2)
     P, M, _ = Sinv.shape
     eye = jnp.eye(M, dtype=Sinv.dtype)
-    Lprec = _chol_batched(Sinv)  # chol of precision
+    Lprec = _chol_batched(Sinv)  # chol of precision (jittered)
     # S = Sinv⁻¹ = Lprec⁻ᵀ Lprec⁻¹
     Linv = jax.vmap(
         lambda Lp: jax.scipy.linalg.solve_triangular(Lp, eye, lower=True)
@@ -135,11 +138,37 @@ def natgrad_step(model, loss_fn: Callable, gamma: float):
     etas = _xi_to_expectation(m0, L0)
     dL_deta = jax.grad(loss_of_eta)(etas)
 
-    # θ-space step, mapped back to ξ = (q_mu, q_sqrt)
+    # θ-space step, mapped back to ξ = (q_mu, q_sqrt). With non-conjugate
+    # likelihoods a large γ can push the precision −2·nat2 indefinite (the
+    # classic natgrad blow-up); backtrack γ ← γ/2 until the new covariance
+    # factorizes (all-finite Cholesky), up to 8 halvings.
     nat1, nat2 = _xi_to_natural(m0, L0)
-    nat1_new = nat1 - gamma * dL_deta[0]
-    nat2_new = nat2 - gamma * dL_deta[1]
-    m_new, L_new = _natural_to_xi(nat1_new, nat2_new)
+
+    def attempt(g):
+        m_new, L_new = _natural_to_xi(
+            nat1 - g * dL_deta[0], nat2 - g * dL_deta[1]
+        )
+        ok = jnp.all(jnp.isfinite(m_new)) & jnp.all(jnp.isfinite(L_new))
+        return m_new, L_new, ok
+
+    def cond(state):
+        g, _, _, ok, it = state
+        return jnp.logical_and(jnp.logical_not(ok), it < 8)
+
+    def body(state):
+        g, _, _, _, it = state
+        g = g * 0.5
+        m_new, L_new, ok = attempt(g)
+        return (g, m_new, L_new, ok, it + 1)
+
+    m_new, L_new, ok = attempt(jnp.asarray(gamma, m0.dtype))
+    g0 = jnp.asarray(gamma, m0.dtype)
+    _, m_new, L_new, ok, _ = jax.lax.while_loop(
+        cond, body, (g0, m_new, L_new, ok, jnp.asarray(0, jnp.int32))
+    )
+    # if even the smallest step failed, keep the current q
+    m_new = jnp.where(ok, m_new, m0)
+    L_new = jnp.where(ok, L_new, L0)
 
     return _with_q(model, m_new, L_new)
 

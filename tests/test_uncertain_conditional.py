@@ -1,0 +1,95 @@
+"""uncertain_conditional vs Monte-Carlo ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpflow_slim_tpu as gfs
+from gpflow_slim_tpu.conditionals import base_conditional, \
+    uncertain_conditional
+
+rng = np.random.RandomState(0)
+
+
+def setup(white, q_diag=False, M=6, D=2, P=2):
+    Z = rng.randn(M, D)
+    kern = gfs.kernels.RBF(D, variance=1.2, lengthscales=0.9)
+    q_mu = jnp.asarray(rng.randn(M, P) * 0.5)
+    if q_diag:
+        q_sqrt = jnp.asarray(0.2 + 0.3 * rng.rand(M, P))
+    else:
+        A = rng.randn(P, M, M) * 0.1
+        q_sqrt = jnp.asarray(np.tril(A) + 0.3 * np.eye(M))
+    feat = gfs.features.InducingPoints(Z)
+    return feat, kern, q_mu, q_sqrt
+
+
+def mc_moments(feat, kern, q_mu, q_sqrt, Xmu, Xvar, white, S=150_000):
+    # sample x* ~ N(Xmu, diag(Xvar)), compute conditional moments, average
+    N, D = Xmu.shape
+    key = jax.random.PRNGKey(0)
+    xs = Xmu[None] + np.sqrt(Xvar)[None] * np.asarray(
+        jax.random.normal(key, (S, N, D))
+    )  # (S, N, D)
+    Z = feat.Z.value
+    M = Z.shape[0]
+    jitter = gfs.config.default_jitter()
+    Kmm = kern.K(Z) + jitter * jnp.eye(M, dtype=Z.dtype)
+
+    def moments_at(x):  # x (N, D)
+        Kmn = kern.K(Z, jnp.asarray(x))
+        Knn = kern.Kdiag(jnp.asarray(x))
+        m, v = base_conditional(Kmn, Kmm, Knn, q_mu, q_sqrt=q_sqrt,
+                                white=white)
+        return m, v
+
+    ms, vs = jax.lax.map(moments_at, jnp.asarray(xs), batch_size=512)
+    Em = np.asarray(jnp.mean(ms, axis=0))
+    # law of total variance
+    Ev = np.asarray(jnp.mean(vs, axis=0) + jnp.var(ms, axis=0))
+    return Em, Ev
+
+
+@pytest.mark.parametrize("white", [False, True])
+def test_uncertain_conditional_matches_mc(white):
+    feat, kern, q_mu, q_sqrt = setup(white)
+    N = 4
+    Xmu = rng.randn(N, 2) * 0.5
+    Xvar = 0.05 + 0.15 * rng.rand(N, 2)
+    mean, var = uncertain_conditional(
+        jnp.asarray(Xmu), jnp.asarray(Xvar), feat, kern, q_mu, q_sqrt,
+        white=white,
+    )
+    Em, Ev = mc_moments(feat, kern, q_mu, q_sqrt, Xmu, Xvar, white, S=60_000)
+    np.testing.assert_allclose(np.asarray(mean), Em, atol=0.02)
+    np.testing.assert_allclose(np.asarray(var), Ev, atol=0.03)
+
+
+def test_uncertain_conditional_zero_variance_reduces_to_conditional():
+    feat, kern, q_mu, q_sqrt = setup(white=False)
+    N = 5
+    Xmu = rng.randn(N, 2) * 0.5
+    Xvar = np.full((N, 2), 1e-10)
+    mean, var = uncertain_conditional(
+        jnp.asarray(Xmu), jnp.asarray(Xvar), feat, kern, q_mu, q_sqrt,
+        white=False,
+    )
+    Z = feat.Z.value
+    M = Z.shape[0]
+    Kmm = kern.K(Z) + gfs.config.default_jitter() * jnp.eye(M)
+    m2, v2 = base_conditional(
+        kern.K(Z, jnp.asarray(Xmu)), Kmm, kern.Kdiag(jnp.asarray(Xmu)),
+        q_mu, q_sqrt=q_sqrt, white=False,
+    )
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(m2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(v2), atol=1e-4)
+
+
+def test_uncertain_conditional_rejects_non_rbf():
+    feat, kern, q_mu, q_sqrt = setup(white=False)
+    with pytest.raises(NotImplementedError):
+        uncertain_conditional(
+            jnp.zeros((3, 2)), jnp.ones((3, 2)), feat,
+            gfs.kernels.Matern32(2), q_mu, q_sqrt,
+        )
