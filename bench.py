@@ -41,6 +41,12 @@ def oracle_eval_rate(X, Y, variance, lengthscale, noise, reps=2):
     return reps / (time.perf_counter() - t0)
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     N = int(os.environ.get("BENCH_N", 10_000))
     import jax
@@ -91,13 +97,14 @@ def main():
     import jax.numpy as jnp
 
     leaves, treedef = jax.tree_util.tree_flatten(model)
-    reps = int(os.environ.get("BENCH_REPS", 10))
+    reps = int(os.environ.get("BENCH_REPS", 30))
 
     @jax.jit
-    def many_evals(leaves):
+    def many_evals(leaves, seed):
         def body(carry, i):
             pert = [
-                l + 1e-6 * (i + 1) if l.ndim == 0 else l for l in leaves
+                l + seed * 1e-7 + 1e-6 * (i + 1) if l.ndim == 0 else l
+                for l in leaves
             ]
             m = jax.tree_util.tree_unflatten(treedef, pert)
             return carry + m.objective(), None
@@ -107,11 +114,25 @@ def main():
         )
         return total
 
-    many_evals(leaves).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    out = many_evals(leaves)
-    out.block_until_ready()
-    evals_per_sec = reps / (time.perf_counter() - t0)
+    # fresh seed per timed call (defeats result memoization); min-of-3
+    # timings minus the measured dispatch latency (the tunnel's round-trip
+    # time is variable and can reach seconds — min-of-N rides out spikes)
+    @jax.jit
+    def trivial(x):
+        return x + 1.0
+
+    float(trivial(jnp.float32(0.0)))
+    lat = min(
+        _timed(lambda: float(trivial(jnp.float32(i + 1.0))))
+        for i in range(3)
+    )
+
+    many_evals(leaves, jnp.float32(0.0)).block_until_ready()  # compile
+    elapsed = min(
+        _timed(lambda: float(many_evals(leaves, jnp.float32(17.0 + 7 * t))))
+        for t in range(3)
+    )
+    evals_per_sec = reps / max(elapsed - lat, 1e-6)
 
     base = oracle_eval_rate(
         X.astype(np.float64), Y.astype(np.float64), 1.0, 0.1, 1.0,

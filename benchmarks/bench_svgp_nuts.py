@@ -1,0 +1,106 @@
+"""Secondary benchmarks (BASELINE metrics #2/#3): SVGP iters/sec and NUTS
+ESS/sec on the default backend. Not the driver's bench.py entry — run
+manually; results tracked in BASELINE.md.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def bench_svgp(N=100_000, M=512, B=1024, steps=50):
+    import jax
+
+    import gpflow_slim_tpu as gfs
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0, 1, (N, 1)).astype(np.float32)
+    Y = (np.sin(10 * X) > 0).astype(np.float32)
+    Z = np.linspace(0, 1, M, dtype=np.float32)[:, None]
+    m = gfs.models.SVGP(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.2),
+                        likelihood=gfs.likelihoods.Bernoulli(), Z=Z)
+
+    import optax
+
+    from gpflow_slim_tpu.parallel.dp import make_svgp_step
+
+    step_fn, (leaves, opt_state, treedef) = make_svgp_step(
+        m, optax.adam(1e-2), batch_size=B
+    )
+
+    @jax.jit
+    def run(leaves, opt_state, key):
+        def body(carry, k):
+            leaves, opt_state = carry
+            leaves, opt_state, loss = step_fn(leaves, opt_state, k)
+            return (leaves, opt_state), loss
+
+        keys = jax.random.split(key, steps)
+        (leaves, opt_state), losses = jax.lax.scan(
+            body, (leaves, opt_state), keys
+        )
+        return leaves, opt_state, losses
+
+    key = jax.random.PRNGKey(0)
+    leaves, opt_state, losses = run(leaves, opt_state, key)
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    leaves, opt_state, losses = run(leaves, opt_state, key)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"svgp_iters_per_sec_N{N}_M{M}_B{B}",
+        "value": round(steps / dt, 2), "unit": "iters/s",
+    }))
+
+
+def bench_nuts(N=1000, chains=8, samples=128, warmup=128):
+    import jax
+    import jax.numpy as jnp
+
+    import gpflow_slim_tpu as gfs
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0, 1, (N, 1)).astype(np.float32)
+    Y = (np.sin(6 * X) + 0.2 * rng.randn(N, 1)).astype(np.float32)
+    k = gfs.kernels.RBF(1, lengthscales=0.3)
+    k.variance = gfs.params.Param(
+        1.0, transform=gfs.transforms.positive(),
+        prior=gfs.priors.LogNormal(0.0, 1.0), name="v", dtype=jnp.float32)
+    k.lengthscales = gfs.params.Param(
+        0.3, transform=gfs.transforms.positive(),
+        prior=gfs.priors.LogNormal(-1.0, 1.0), name="l", dtype=jnp.float32)
+    m = gfs.models.GPR(X, Y, kern=k)
+    m.likelihood.variance = gfs.params.Param(
+        0.05, transform=gfs.transforms.positive(),
+        prior=gfs.priors.LogNormal(-2.0, 1.0), name="n", dtype=jnp.float32)
+
+    lp, x0, _ = gfs.mcmc.model_logprob(m)
+    x0s = jnp.tile(x0, (chains, 1))
+
+    t0 = time.perf_counter()
+    s, info = gfs.parallel.sample_chains(
+        lp, x0s, jax.random.PRNGKey(0), num_samples=samples,
+        sampler="nuts", num_warmup=warmup, max_depth=8,
+    )
+    jax.block_until_ready(s)
+    dt = time.perf_counter() - t0
+    ess = gfs.mcmc.effective_sample_size(np.asarray(s))
+    print(json.dumps({
+        "metric": f"nuts_ess_per_sec_gpr_n{N}_c{chains}",
+        "value": round(float(np.min(ess)) / dt, 3), "unit": "ESS/s",
+        "total_time_s": round(dt, 1),
+        "min_ess": round(float(np.min(ess)), 1),
+        "rhat_max": round(float(np.max(
+            gfs.mcmc.potential_scale_reduction(np.asarray(s)))), 4),
+    }))
+
+
+if __name__ == "__main__":
+    which = os.environ.get("BENCH_WHICH", "both")
+    if which in ("svgp", "both"):
+        bench_svgp()
+    if which in ("nuts", "both"):
+        bench_nuts()

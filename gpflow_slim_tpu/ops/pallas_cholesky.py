@@ -37,13 +37,11 @@ def _tril_mask(bs, dtype):
     return (r >= c).astype(dtype)
 
 
-def _vmem_cholesky(a):
-    """Unblocked in-register Cholesky of a bs×bs SPD tile (lower).
+_SUB = 64  # in-tile sub-panel width (MXU-friendly, static unrolled)
 
-    Mosaic-friendly: no dynamic slicing on values — column j is selected and
-    written back with iota masks (the masked reductions are VPU-cheap
-    relative to the rank-1 update).
-    """
+
+def _vmem_cholesky_small(a):
+    """Unblocked masked-rank-1 Cholesky of a small (≤_SUB) SPD tile."""
     bs = a.shape[0]
     r2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
     c2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
@@ -64,8 +62,8 @@ def _vmem_cholesky(a):
     return a * _tril_mask(bs, a.dtype)
 
 
-def _vmem_tri_inverse(L):
-    """Z = L⁻¹ for a bs×bs lower triangle, by masked row substitution."""
+def _vmem_tri_inverse_small(L):
+    """Z = L⁻¹ for a small lower triangle, masked row substitution."""
     bs = L.shape[0]
     r2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
     c2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
@@ -82,6 +80,92 @@ def _vmem_tri_inverse(L):
 
     Z0 = jnp.zeros_like(L)
     return jax.lax.fori_loop(0, bs, body, Z0)
+
+
+def _mm(A, B, ta=False, tb=False):
+    dims = ((1,) if not ta else (0,), (0,) if not tb else (1,))
+    out = jax.lax.dot_general(
+        A, B, ((dims[0], dims[1]), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(A.dtype)
+
+
+def _split_blocks(a, s):
+    nb = a.shape[0] // s
+    return [
+        [a[i * s : (i + 1) * s, j * s : (j + 1) * s] for j in range(nb)]
+        for i in range(nb)
+    ]
+
+
+def _join_blocks(blocks):
+    return jnp.concatenate(
+        [jnp.concatenate(row, axis=1) for row in blocks], axis=0
+    )
+
+
+def _vmem_cholesky(a):
+    """Blocked in-VMEM Cholesky of a bs×bs SPD tile.
+
+    Factored in _SUB-wide panels over a static nested block list (Mosaic
+    supports static slices/concats but not scatter/.at updates): the small
+    diagonal factor uses the masked rank-1 loop, the panel TRSM becomes a
+    GEMM against the small triangle inverse, the trailing SYRK runs on the
+    MXU. Sequential scalar work drops from O(bs) full-width steps to O(bs)
+    tiny ones + GEMMs.
+    """
+    bs = a.shape[0]
+    if bs <= _SUB:
+        return _vmem_cholesky_small(a)
+    assert bs % _SUB == 0
+    nb = bs // _SUB
+    s = _SUB
+    B = _split_blocks(a, s)
+    zero = jnp.zeros((s, s), a.dtype)
+
+    for p in range(nb):
+        Ld = _vmem_cholesky_small(B[p][p])
+        Zd = _vmem_tri_inverse_small(Ld)
+        B[p][p] = Ld
+        for j in range(p + 1, nb):
+            B[p][j] = zero  # upper triangle of the result
+        W = {}
+        for i in range(p + 1, nb):
+            W[i] = _mm(B[i][p], Zd, tb=True)
+            B[i][p] = W[i]
+        for i in range(p + 1, nb):
+            for j in range(p + 1, i + 1):
+                B[i][j] = B[i][j] - _mm(W[i], W[j], tb=True)
+    return _join_blocks(B)
+
+
+def _vmem_tri_inverse(L):
+    """Blocked Z = L⁻¹ of a bs×bs lower triangle.
+
+    Small diagonal blocks by row substitution; off-diagonal blocks via
+    Z[i,p] = −Z[i,i] Σ_{p≤k<i} L[i,k] Z[k,p] — static MXU matmuls.
+    """
+    bs = L.shape[0]
+    if bs <= _SUB:
+        return _vmem_tri_inverse_small(L)
+    assert bs % _SUB == 0
+    nb = bs // _SUB
+    s = _SUB
+    LB = _split_blocks(L, s)
+    zero = jnp.zeros((s, s), L.dtype)
+
+    Zd = [_vmem_tri_inverse_small(LB[i][i]) for i in range(nb)]
+    Z = [[zero for _ in range(nb)] for _ in range(nb)]
+    for i in range(nb):
+        Z[i][i] = Zd[i]
+    for p in range(nb):
+        for i in range(p + 1, nb):
+            acc = zero
+            for k in range(p, i):
+                acc = acc + _mm(LB[i][k], Z[k][p])
+            Z[i][p] = -_mm(Zd[i], acc)
+    return _join_blocks(Z)
 
 
 def _make_chol_kernel(nb: int, bs: int):

@@ -1,4 +1,5 @@
-from .mesh import Mesh, NamedSharding, P, make_mesh, replicated, shard_rows
+from .mesh import (Mesh, NamedSharding, P, initialize_distributed,
+                   make_mesh, replicated, shard_rows)
 from .chains import sample_chains
 from .dp import dp_value_and_grad, fit_svgp, make_svgp_step
 from .ring_gram import ring_gram, ring_gram_matvec

@@ -13,7 +13,30 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "Mesh", "NamedSharding", "P", "replicated",
-           "shard_rows"]
+           "shard_rows", "initialize_distributed"]
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up (SURVEY §2.2 collective-backend row).
+
+    Thin wrapper over ``jax.distributed.initialize``: on TPU pods the
+    runtime discovers everything from the environment, so a bare call is
+    usually enough; arguments are for manual/CPU clusters. After this,
+    ``jax.devices()`` spans the slice and ``make_mesh`` lays global meshes.
+    Gang-scheduled semantics: no elasticity — recover by restarting from a
+    checkpoint (utils.checkpoint).
+    """
+    import jax as _jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    _jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
