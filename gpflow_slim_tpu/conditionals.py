@@ -19,13 +19,21 @@ from jax.scipy.linalg import cholesky, solve_triangular
 
 from . import config
 
-__all__ = ["base_conditional", "conditional", "feature_conditional",
-           "uncertain_conditional"]
+__all__ = ["base_conditional", "base_conditional_with_lm", "conditional",
+           "feature_conditional", "uncertain_conditional"]
 
 
 def base_conditional(Kmn, Kmm, Knn, f, *, full_cov=False, q_sqrt=None, white=False):
-    num_func = f.shape[1]  # P
     Lm = cholesky(Kmm, lower=True)
+    return base_conditional_with_lm(
+        Kmn, Lm, Knn, f, full_cov=full_cov, q_sqrt=q_sqrt, white=white
+    )
+
+
+def base_conditional_with_lm(Kmn, Lm, Knn, f, *, full_cov=False,
+                             q_sqrt=None, white=False):
+    """base_conditional given a precomputed Cholesky of Kmm (serving path)."""
+    num_func = f.shape[1]  # P
 
     A = solve_triangular(Lm, Kmn, lower=True)  # (M, N)
 

@@ -295,10 +295,10 @@ class RobustMax(Module):
         var_sel = jnp.take_along_axis(var, Y[:, None], axis=1)
 
         X = mu_sel + gh_x * jnp.sqrt(
-            jnp.clip(2.0 * var_sel, a_min=1e-10)
+            jnp.maximum(2.0 * var_sel, 1e-10)
         )  # (N, H)
         dist = (X[:, :, None] - mu[:, None, :]) / jnp.sqrt(
-            jnp.clip(var[:, None, :], a_min=1e-10)
+            jnp.maximum(var[:, None, :], 1e-10)
         )  # (N, H, K)
         cdfs = ndtr(dist)
         cdfs = cdfs * (1 - 2e-4) + 1e-4  # reference clamp
@@ -371,42 +371,36 @@ class SwitchedLikelihood(Likelihood):
     mask-combine — same math, no dynamic shapes, trivially vmappable.
     """
 
+    # a y-value inside the support of every provided likelihood (positive,
+    # in (0,1)) substituted at masked-out rows so restricted-support
+    # likelihoods (Gamma/Beta/Exponential…) never see another output's data
+    # — NaN·0 = NaN would otherwise poison the combine AND its gradients
+    _SAFE_Y = 0.5
+
     def __init__(self, likelihood_list, name="switched_likelihood"):
         super().__init__(name=name)
         self.likelihood_list = list(likelihood_list)
 
-    def logp(self, F, Y):
+    def _combine(self, method, Y, *fargs):
         ind = jnp.asarray(Y[..., -1], dtype=jnp.int32)
         Ydata = Y[..., :-1]
         out = None
         for i, lik in enumerate(self.likelihood_list):
-            val = lik.logp(F, Ydata)
-            mask = jnp.equal(ind, i)[..., None].astype(val.dtype)
-            contrib = val * mask
+            mask = jnp.equal(ind, i)[..., None]
+            Ysafe = jnp.where(mask, Ydata, self._SAFE_Y)
+            val = getattr(lik, method)(*fargs, Ysafe)
+            contrib = jnp.where(mask, val, 0.0)
             out = contrib if out is None else out + contrib
         return out
+
+    def logp(self, F, Y):
+        return self._combine("logp", Y, F)
 
     def variational_expectations(self, Fmu, Fvar, Y):
-        ind = jnp.asarray(Y[..., -1], dtype=jnp.int32)
-        Ydata = Y[..., :-1]
-        out = None
-        for i, lik in enumerate(self.likelihood_list):
-            val = lik.variational_expectations(Fmu, Fvar, Ydata)
-            mask = jnp.equal(ind, i)[..., None].astype(val.dtype)
-            contrib = val * mask
-            out = contrib if out is None else out + contrib
-        return out
+        return self._combine("variational_expectations", Y, Fmu, Fvar)
 
     def predict_density(self, Fmu, Fvar, Y):
-        ind = jnp.asarray(Y[..., -1], dtype=jnp.int32)
-        Ydata = Y[..., :-1]
-        out = None
-        for i, lik in enumerate(self.likelihood_list):
-            val = lik.predict_density(Fmu, Fvar, Ydata)
-            mask = jnp.equal(ind, i)[..., None].astype(val.dtype)
-            contrib = val * mask
-            out = contrib if out is None else out + contrib
-        return out
+        return self._combine("predict_density", Y, Fmu, Fvar)
 
 
 class Ordinal(Likelihood):

@@ -35,6 +35,16 @@ class GPR(GPModel):
         m = self.mean_function(self.X)
         return densities.multivariate_normal(self.Y, m, L)
 
+    def posterior(self):
+        """Precompute (L, α) once for O(N·N*) serving predictions."""
+        from .posterior import GPRPosterior
+
+        L = self._K_chol()
+        err = self.Y - self.mean_function(self.X)
+        alpha = linalg.solve_upper(L.T, linalg.solve_lower(L, err))
+        return GPRPosterior(self.kern, self.likelihood, self.mean_function,
+                            self.X, L, alpha, self.num_latent)
+
     def build_predict(self, Xnew, full_cov=False):
         Kx = self.kern.K(self.X, Xnew)  # (N, N*)
         L = self._K_chol()

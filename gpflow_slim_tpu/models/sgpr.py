@@ -100,6 +100,14 @@ class SGPR(GPModel, SGPRUpperMixin):
         )
         return bound
 
+    def posterior(self):
+        """Precompute (L, LB, c) once for O(M·N*) serving predictions."""
+        from .posterior import SGPRPosterior
+
+        err, L, A, AAT, LB, c, sigma, _ = self._common_factors()
+        return SGPRPosterior(self.kern, self.likelihood, self.mean_function,
+                             self.feature, L, LB, c, self.num_latent)
+
     def build_predict(self, Xnew, full_cov=False):
         err, L, A, AAT, LB, c, sigma, _ = self._common_factors()
         Kus = features_mod.Kuf(self.feature, self.kern, Xnew)  # (M, N*)

@@ -82,3 +82,24 @@ class SVGP(GPModel):
 
     def build_predict(self, Xnew, full_cov=False):
         return self._conditional_batch(Xnew, full_cov=full_cov)
+
+    def q_sqrt_array(self):
+        """(P, M, M) lower-tri covariance factor regardless of q_diag."""
+        q = self.q_sqrt.value
+        if q.ndim == 2:  # diag (M, P)
+            return jax.vmap(jnp.diag)(q.T)
+        return jnp.tril(q)
+
+    def posterior(self):
+        """Precompute chol(Kuu) + materialized q for O(M·N*) serving."""
+        from ..ops import linalg
+        from .posterior import SVGPPosterior
+
+        Kuu = features_mod.Kuu(self.feature, self.kern,
+                               jitter=config.default_jitter())
+        Luu = linalg.cholesky(Kuu)
+        return SVGPPosterior(
+            self.kern, self.likelihood, self.mean_function, self.feature,
+            Luu, self.q_mu.value, self.q_sqrt_array(), self.whiten,
+            self.num_latent,
+        )

@@ -119,10 +119,13 @@ def pivoted_cholesky(K, rank: int):
     N = K.shape[0]
     d = jnp.diagonal(K)
     L = jnp.zeros((N, rank), K.dtype)
+    picked = jnp.zeros((N,), bool)  # separate mask: −inf sentinels in d get
+    # resurrected by the max(…, 0) clip, so previously-chosen pivots could
+    # be re-picked on rank-deficient inputs
 
     def body(i, carry):
-        d, L = carry
-        p = jnp.argmax(d)
+        d, L, picked = carry
+        p = jnp.argmax(jnp.where(picked, -jnp.inf, d))
         pivot = jnp.maximum(d[p], 1e-12)
         # row p of K minus correction from previous factors
         Kp = K[p, :]  # gather row (dynamic index ok at jnp level)
@@ -131,10 +134,10 @@ def pivoted_cholesky(K, rank: int):
         col = col.at[p].set(jnp.sqrt(pivot))
         L = L.at[:, i].set(col)
         d = jnp.maximum(d - jnp.square(col), 0.0)
-        d = d.at[p].set(-jnp.inf)  # never repick
-        return (d, L)
+        picked = picked.at[p].set(True)
+        return (d, L, picked)
 
-    _, L = jax.lax.fori_loop(0, rank, body, (d, L))
+    _, L, _ = jax.lax.fori_loop(0, rank, body, (d, L, picked))
     return L
 
 

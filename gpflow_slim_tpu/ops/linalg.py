@@ -58,3 +58,39 @@ def solve_upper(U, B):
 def cho_solve_lower(L, B):
     """Solve (L Lᵀ) x = B given the lower Cholesky factor."""
     return solve_upper(L.T, solve_lower(L, B))
+
+
+def robust_cholesky(K, max_tries: int = 5):
+    """Cholesky with adaptive jitter escalation (GPyTorch-style).
+
+    Tries ``chol(K + jitter·scale·I)`` with jitter growing ×10 per attempt
+    (starting from the dtype-aware default) until the factor is finite —
+    jittable via ``lax.while_loop``. Returns ``(L, jitter_used)``. The f32
+    TPU safety net for ill-conditioned kernels; exact parity paths should
+    call ``cholesky`` directly.
+    """
+    N = K.shape[0]
+    eye = jnp.eye(N, dtype=K.dtype)
+    scale = jnp.mean(jnp.diagonal(K))
+    base = jnp.asarray(config.default_jitter(), K.dtype)
+
+    def attempt(jit_rel):
+        L = cholesky(K + jit_rel * scale * eye)
+        ok = jnp.all(jnp.isfinite(L))
+        return L, ok
+
+    def cond(state):
+        _, ok, tries, _ = state
+        return jnp.logical_and(jnp.logical_not(ok), tries < max_tries)
+
+    def body(state):
+        jit_rel, _, tries, _ = state
+        jit_rel = jit_rel * 10.0
+        L, ok = attempt(jit_rel)
+        return (jit_rel, ok, tries + 1, L)
+
+    L0, ok0 = attempt(base)
+    jit_rel, ok, _, L = jax.lax.while_loop(
+        cond, body, (base, ok0, jnp.asarray(0, jnp.int32), L0)
+    )
+    return L, jit_rel * scale

@@ -52,7 +52,6 @@ def sample_chains(
         raise ValueError(f"unknown sampler {sampler!r}")
 
     if mesh is None:
-        axis_names = ("chains_local",) if shared_adaptation else None
         kw = dict(sampler_kwargs)
         if adapt_kw and shared_adaptation:
             kw[adapt_kw] = "chains_local"

@@ -54,8 +54,11 @@ def dp_value_and_grad(model, Xb, Yb, mesh: Mesh, axis: str = "data"):
         # local loss = this shard's share; global loss/grad via psum — the
         # gradient allreduce is THE data-parallel collective (rides ICI)
         def local_loss(mm):
+            # loss = −(ELBO + log_prior) = −scale·Σve + KL − log_prior,
+            # with the replicated KL/prior terms divided across devices so
+            # the psum reconstructs them exactly once
             ve_local, kl = _elbo_parts(mm, xb, yb, 1.0)
-            return -scale * ve_local + (kl + mm.log_prior()) / n_dev
+            return -scale * ve_local + (kl - mm.log_prior()) / n_dev
 
         loss_local, grads_local = jax.value_and_grad(local_loss)(m)
         loss = jax.lax.psum(loss_local, axis)

@@ -27,7 +27,7 @@ import optax
 from ..params import Param, trainable_leaf_mask
 from ..transforms import LowerTriangular, positive
 
-__all__ = ["natgrad_step", "fit_svgp_natgrad", "NatGradState"]
+__all__ = ["natgrad_step", "fit_svgp_natgrad"]
 
 
 # -- parameterization maps (batched over P output dims) ---------------------
@@ -85,7 +85,9 @@ def _natural_to_xi(nat1, nat2):
 
 
 def _q_sqrt_array(model):
-    """(P, M, M) lower-tri array from the model's q_sqrt Param (any form)."""
+    """(P, M, M) lower-tri array from the model's q_sqrt (any form)."""
+    if hasattr(model, "q_sqrt_array"):
+        return model.q_sqrt_array()  # canonical impl on SVGP
     q = model.q_sqrt.value
     if q.ndim == 2:  # diag (M, P)
         return jax.vmap(jnp.diag)(q.T)
@@ -171,10 +173,6 @@ def natgrad_step(model, loss_fn: Callable, gamma: float):
     L_new = jnp.where(ok, L_new, L0)
 
     return _with_q(model, m_new, L_new)
-
-
-class NatGradState:
-    pass
 
 
 def fit_svgp_natgrad(

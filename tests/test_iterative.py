@@ -125,3 +125,17 @@ def test_gprcg_trains_to_similar_hypers():
     gpr_eval.likelihood = cg2.likelihood
     l2 = float(gpr_eval.build_likelihood())
     assert l2 > l1 - 5.0
+
+
+def test_pivoted_cholesky_never_repicks_pivot():
+    # regression: the -inf sentinel was resurrected by the >=0 clip, letting
+    # rank-deficient inputs re-pick an old pivot
+    A = rng.randn(30, 3)
+    K = jnp.asarray(A @ A.T)  # rank 3, requested rank 8
+    L = it.pivoted_cholesky(K, 8)
+    assert np.isfinite(np.asarray(L)).all()
+    # residual stays at the rank-3 floor; extra columns are ~0, not garbage
+    resid = np.abs(np.asarray(K - L @ L.T)).max()
+    assert resid < 1e-6
+    extra_norm = np.abs(np.asarray(L[:, 3:])).max()
+    assert extra_norm < 1e-3

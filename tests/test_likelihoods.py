@@ -193,3 +193,22 @@ def test_poisson_binsize():
     lik._testY = Y
     ve_q = np.asarray(Likelihood.variational_expectations(lik, Fmu, Fvar, Y))
     np.testing.assert_allclose(ve, ve_q, atol=1e-6)
+
+
+def test_switched_likelihood_nan_safe_with_restricted_support():
+    # a Gaussian output may carry negative y; the Gamma sub-likelihood must
+    # never poison those rows through the mask (NaN*0 == NaN regression)
+    lik = SwitchedLikelihood([Gaussian(variance=0.1), Gamma()])
+    F = rng.randn(6, 1)
+    Ydata = np.array([[-1.2], [0.5], [-0.3], [2.0], [1.1], [-0.7]])
+    ind = np.array([0, 1, 0, 1, 1, 0], dtype=float)[:, None]
+    Y = np.concatenate([Ydata, ind], axis=1)
+    lp = np.asarray(lik.logp(jnp.asarray(F), jnp.asarray(Y)))
+    assert np.isfinite(lp).all()
+    ve = np.asarray(lik.variational_expectations(Fmu[:6], Fvar[:6],
+                                                 jnp.asarray(Y)))
+    assert np.isfinite(ve).all()
+    # gradients are NaN-free too
+    g = jax.grad(lambda f: jnp.sum(lik.logp(f, jnp.asarray(Y))))(
+        jnp.asarray(F))
+    assert np.isfinite(np.asarray(g)).all()

@@ -224,3 +224,31 @@ def test_nuts_over_distributed_gpr_logprob(mesh):
     assert np.isfinite(s).all()
     # the sampler actually moved
     assert np.std(s[:, 0]) > 1e-3
+
+
+def test_dp_svgp_grad_matches_with_priors(mesh):
+    # regression: log_prior entered dp_value_and_grad with the wrong sign
+    rng = np.random.RandomState(11)
+    N = 32
+    X = rng.uniform(0, 1, (N, 1))
+    Y = np.sin(4 * X) + 0.1 * rng.randn(N, 1)
+    k = gfs.kernels.RBF(1)
+    k.variance = gfs.params.Param(
+        1.0, transform=gfs.transforms.positive(),
+        prior=gfs.priors.LogNormal(0.0, 1.0), name="variance")
+    m = gfs.models.SVGP(X, Y, kern=k, likelihood=gfs.likelihoods.Gaussian(),
+                        Z=X[:4].copy())
+    Xb, Yb = jnp.asarray(X), jnp.asarray(Y)
+
+    def single_loss(mm):
+        return -(mm.build_likelihood_batch(Xb, Yb) + mm.log_prior())
+
+    l1, g1 = jax.value_and_grad(single_loss)(m)
+    l2, g2 = jax.jit(
+        lambda mm, xb, yb: parallel.dp_value_and_grad(mm, xb, yb, mesh,
+                                                      axis="data")
+    )(m, Xb, Yb)
+    assert abs(float(l1) - float(l2)) < 1e-9
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)
