@@ -43,12 +43,13 @@ def bench_svgp(N=100_000, M=512, B=1024, steps=50):
         )
         return leaves, opt_state, losses
 
-    key = jax.random.PRNGKey(0)
-    leaves, opt_state, losses = run(leaves, opt_state, key)
-    jax.block_until_ready(losses)
+    # compile with one key, time with a DIFFERENT key (the runtime memoizes
+    # repeat executions with identical inputs) and force with device_get
+    leaves, opt_state2, losses = run(leaves, opt_state, jax.random.PRNGKey(0))
+    float(losses[-1])
     t0 = time.perf_counter()
-    leaves, opt_state, losses = run(leaves, opt_state, key)
-    jax.block_until_ready(losses)
+    _, _, losses = run(leaves, opt_state, jax.random.PRNGKey(1))
+    float(losses[-1])
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": f"svgp_iters_per_sec_N{N}_M{M}_B{B}",
@@ -80,12 +81,18 @@ def bench_nuts(N=1000, chains=8, samples=128, warmup=128):
     lp, x0, _ = gfs.mcmc.model_logprob(m)
     x0s = jnp.tile(x0, (chains, 1))
 
+    run = jax.jit(jax.vmap(
+        lambda x, k: gfs.mcmc.nuts(lp, x, k, samples, num_warmup=warmup,
+                                   max_depth=8, adapt_axis="c"),
+        axis_name="c",
+    ))
+    keys0 = jax.random.split(jax.random.PRNGKey(0), chains)
+    s, info = run(x0s, keys0)         # compile + warm
+    float(jnp.sum(s))
+    keys1 = jax.random.split(jax.random.PRNGKey(1), chains)
     t0 = time.perf_counter()
-    s, info = gfs.parallel.sample_chains(
-        lp, x0s, jax.random.PRNGKey(0), num_samples=samples,
-        sampler="nuts", num_warmup=warmup, max_depth=8,
-    )
-    jax.block_until_ready(s)
+    s, info = run(x0s, keys1)
+    float(jnp.sum(s))
     dt = time.perf_counter() - t0
     ess = gfs.mcmc.effective_sample_size(np.asarray(s))
     print(json.dumps({

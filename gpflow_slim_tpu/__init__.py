@@ -33,6 +33,7 @@ from . import (
     quadrature,
     training,
     transforms,
+    utils,
 )
 from .config import enable_x64, settings, temp_settings
 from .params import Module, Param

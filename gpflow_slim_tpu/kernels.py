@@ -259,12 +259,7 @@ class Cosine(Stationary):
     def __init__(self, input_dim, variance=1.0, lengthscales=1.0,
                  active_dims=None, ARD=False, name="cosine"):
         super().__init__(input_dim, variance, lengthscales, active_dims, ARD, name)
-
-    def K(self, X, X2=None, presliced=False):
-        if not presliced:
-            X, X2 = self._slice(X, X2)
-        r = self.euclid_dist(X, X2)
-        return jnp.squeeze(self.variance.value) * jnp.cos(r)
+    _gram_kind = "cosine"
 
 
 class RationalQuadratic(Stationary):

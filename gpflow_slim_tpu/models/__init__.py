@@ -3,11 +3,11 @@ from .gpr import GPR
 from .cg_gpr import GPRCG
 from .sgpr import GPRFITC, SGPR
 from .svgp import SVGP
-from .vgp import VGP
+from .vgp import VGP, VGPOpperArchambeau
 from .gpmc import GPMC
 from .sgpmc import SGPMC
 
 __all__ = [
-    "Model", "GPModel", "GPR", "GPRCG", "SGPR", "GPRFITC", "SVGP", "VGP",
+    "Model", "GPModel", "GPR", "GPRCG", "SGPR", "GPRFITC", "SVGP", "VGP", "VGPOpperArchambeau",
     "GPMC", "SGPMC",
 ]

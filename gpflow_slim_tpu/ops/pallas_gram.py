@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _EUCLID_EPS = 1e-12
-_KINDS = ("rbf", "matern12", "matern32", "matern52", "exponential")
+_KINDS = ("rbf", "matern12", "matern32", "matern52", "exponential", "cosine")
 
 
 def _apply_map(kind, variance, d2):
@@ -45,6 +45,8 @@ def _apply_map(kind, variance, d2):
         return variance * (1.0 + s5 * r + 5.0 / 3.0 * d2) * jnp.exp(-s5 * r)
     if kind == "exponential":
         return variance * jnp.exp(-0.5 * r)
+    if kind == "cosine":
+        return variance * jnp.cos(r)
     raise ValueError(f"unknown kind {kind!r}")
 
 

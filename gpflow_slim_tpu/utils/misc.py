@@ -12,7 +12,7 @@ import contextlib
 import jax
 import numpy as np
 
-__all__ = ["named_scope", "debug_nans", "check_determinism"]
+__all__ = ["named_scope", "debug_nans", "check_determinism", "print_summary"]
 
 
 def named_scope(name: str):
@@ -40,3 +40,36 @@ def check_determinism(fn, *args, reps: int = 2) -> bool:
             if not np.array_equal(np.asarray(a), np.asarray(b)):
                 return False
     return True
+
+
+def print_summary(model, max_width: int = 100):
+    """GPflow-style parameter table for any Module tree."""
+    import numpy as np
+
+    from ..params import parameters
+
+    rows = [("name", "transform", "prior", "trainable", "shape", "value")]
+    for name, p in parameters(model):
+        val = np.asarray(p.value)
+        if val.size <= 4:
+            vstr = np.array2string(val, precision=4, suppress_small=True)
+        else:
+            vstr = f"[{val.size} values] mean={val.mean():.4g}"
+        rows.append((
+            name,
+            type(p.transform).__name__,
+            type(p.prior).__name__ if p.prior is not None else "-",
+            str(p.trainable),
+            str(tuple(val.shape)),
+            vstr.replace("\n", " "),
+        ))
+    widths = [min(max(len(r[i]) for r in rows), max_width)
+              for i in range(len(rows[0]))]
+    lines = []
+    for j, r in enumerate(rows):
+        lines.append("  ".join(c[:w].ljust(w) for c, w in zip(r, widths)))
+        if j == 0:
+            lines.append("  ".join("-" * w for w in widths))
+    out = "\n".join(lines)
+    print(out)
+    return out

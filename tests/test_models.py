@@ -239,3 +239,45 @@ def test_all_models_objective_grads_finite():
         g = jax.grad(lambda mm: mm.objective())(m)
         for leaf in jax.tree_util.tree_leaves(g):
             assert np.isfinite(np.asarray(leaf)).all(), type(m).__name__
+
+
+def test_vgp_opper_archambeau_conjugate_matches_gpr():
+    X, Y = make_data(N=15)
+    gpr = gfs.models.GPR(X, Y, kern=make_kern())
+    noise = float(np.squeeze(gpr.likelihood.variance.value))
+    vgp = gfs.models.VGPOpperArchambeau(
+        X, Y, kern=make_kern(),
+        likelihood=gfs.likelihoods.Gaussian(variance=noise),
+    )
+    vgp.kern.variance = _freeze(vgp.kern.variance)
+    vgp.kern.lengthscales = _freeze(vgp.kern.lengthscales)
+    vgp.likelihood.variance = _freeze(vgp.likelihood.variance)
+    lml = float(gpr.build_likelihood())
+    assert float(vgp.build_likelihood()) <= lml + 1e-6
+    vgp2, _ = gfs.training.fit(vgp, num_steps=3000, learning_rate=0.05)
+    elbo = float(vgp2.build_likelihood())
+    assert elbo <= lml + 1e-6
+    assert elbo > lml - 0.5  # conjugate optimum reaches the exact lml
+
+    # predictions at the optimum match exact GPR
+    Xnew = np.random.RandomState(3).randn(6, 2)
+    m1, v1 = gpr.predict_f(Xnew)
+    m2, v2 = vgp2.predict_f(Xnew)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=0.05)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=0.05)
+
+
+def test_vgp_opper_archambeau_classification():
+    rng2 = np.random.RandomState(4)
+    X = rng2.uniform(-1, 1, (40, 1))
+    Y = (np.sin(4 * X) > 0).astype(float)
+    m = gfs.models.VGPOpperArchambeau(
+        X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.4),
+        likelihood=gfs.likelihoods.Bernoulli(),
+    )
+    before = float(m.objective())
+    m2, _ = gfs.training.fit(m, num_steps=500, learning_rate=0.05)
+    assert float(m2.objective()) < before - 3
+    p, _ = m2.predict_y(X)
+    acc = float(np.mean((np.asarray(p) > 0.5) == (Y > 0.5)))
+    assert acc > 0.85
