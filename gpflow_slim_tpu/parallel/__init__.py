@@ -1,6 +1,7 @@
 from .mesh import (Mesh, NamedSharding, P, initialize_distributed,
                    make_mesh, replicated, shard_rows)
 from .chains import sample_chains
+from .cyclic_cholesky import cyclic_cholesky
 from .dp import dp_value_and_grad, fit_svgp, make_svgp_step
 from .ring_gram import ring_gram, ring_gram_matvec
 from .dist_linalg import (
@@ -12,7 +13,7 @@ from .dist_linalg import (
 
 __all__ = [
     "Mesh", "NamedSharding", "P", "make_mesh", "replicated", "shard_rows",
-    "sample_chains", "dp_value_and_grad", "fit_svgp", "make_svgp_step",
+    "sample_chains", "cyclic_cholesky", "dp_value_and_grad", "fit_svgp", "make_svgp_step",
     "ring_gram", "ring_gram_matvec", "distributed_cholesky",
     "distributed_gpr_mll", "distributed_solve_lower",
     "make_distributed_gpr_loss",

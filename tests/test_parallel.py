@@ -252,3 +252,29 @@ def test_dp_svgp_grad_matches_with_priors(mesh):
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-8)
+
+
+def test_cyclic_cholesky_matches_numpy(mesh):
+    rng = np.random.RandomState(12)
+    N, bs = 128, 16
+    A = rng.randn(N, N)
+    K = jnp.asarray(A @ A.T + N * np.eye(N))
+    L = np.asarray(parallel.cyclic_cholesky(K, mesh, "data", block_size=bs))
+    np.testing.assert_allclose(L, np.linalg.cholesky(np.asarray(K)),
+                               atol=1e-10)
+
+
+def test_cyclic_cholesky_differentiable(mesh):
+    rng = np.random.RandomState(13)
+    N, bs = 64, 8
+    A = rng.randn(N, N)
+    K = jnp.asarray(A @ A.T + N * np.eye(N))
+
+    def f(K):
+        L = parallel.cyclic_cholesky(K, mesh, "data", block_size=bs)
+        return jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    g = np.asarray(jax.grad(f)(K))
+    gs = 0.5 * (g + g.T)
+    np.testing.assert_allclose(gs, 0.5 * np.linalg.inv(np.asarray(K)),
+                               atol=1e-9)
