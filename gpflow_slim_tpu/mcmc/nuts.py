@@ -140,29 +140,22 @@ def _build_subtree(logprob_grad_fn, z0, r0, grad0, depth, direction,
             is_even, c.ckpt_r.at[pc].set(r), c.ckpt_r
         )
 
-        # odd leaves close t subtrees: check slots pc-t .. pc-1
+        # odd leaves close t subtrees: check slots pc-t .. pc-1 — vectorized
+        # over all slots with an activity mask (no sequential inner scan in
+        # the leapfrog hot loop)
         t = _trailing_ones(i)
-
-        def check_turn(_):
-            def scan_body(turn, k):
-                active = jnp.logical_and(k >= pc - t, k <= pc - 1)
-                zk = ckpt_z[jnp.clip(k, 0, max_depth)]
-                rk = ckpt_r[jnp.clip(k, 0, max_depth)]
-                this_turn = jnp.where(
-                    direction > 0,
-                    _is_turning(zk, rk, z, r, inv_mass),
-                    _is_turning(z, r, zk, rk, inv_mass),
-                )
-                return jnp.logical_or(turn, jnp.logical_and(active, this_turn)), None
-
-            turn, _ = jax.lax.scan(
-                scan_body, jnp.asarray(False),
-                jnp.arange(max_depth + 1, dtype=jnp.int32),
-            )
-            return turn
-
-        turning_here = jnp.where(
-            is_even, jnp.asarray(False), check_turn(None)
+        slots = jnp.arange(max_depth + 1, dtype=jnp.int32)
+        active = (slots >= pc - t) & (slots <= pc - 1)  # (S,)
+        # orientation: forward ⇒ checkpoint is the left end, else the right
+        dz = jnp.where(direction > 0, z[None, :] - ckpt_z, ckpt_z - z[None, :])
+        r_left = jnp.where(direction > 0, ckpt_r, r[None, :])
+        r_right = jnp.where(direction > 0, r[None, :], ckpt_r)
+        turn_k = jnp.logical_or(
+            jnp.sum(dz * (r_left * inv_mass), axis=1) < 0.0,
+            jnp.sum(dz * (r_right * inv_mass), axis=1) < 0.0,
+        )
+        turning_here = jnp.logical_and(
+            jnp.logical_not(is_even), jnp.any(active & turn_k)
         )
 
         done = jnp.logical_or(c.turning, c.diverging)

@@ -172,7 +172,7 @@ def _make_chol_kernel(nb: int, bs: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(_, A, diag, zinv, pan, a_s, b_s, c_s, sem):
+    def kernel(_, A, diag, zinv, pan, a2, b_s, c2, sem, asem, csem, wsem):
         def blk(i, j):
             return A.at[pl.ds(i * bs, bs), pl.ds(j * bs, bs)]
 
@@ -207,24 +207,52 @@ def _make_chol_kernel(nb: int, bs: int):
 
             jax.lax.fori_loop(k + 1, nb, panel_body, 0)
 
-            # 4) trailing SYRK: A[i,j] -= L[i,k] @ L[j,k]ᵀ  (i ≥ j > k)
+            # 4) trailing SYRK: A[i,j] -= L[i,k] @ L[j,k]ᵀ (i ≥ j > k),
+            #    double-buffered: prefetch the next (a, c) pair while the
+            #    MXU works on the current one — DMA/compute overlap is the
+            #    whole ballgame for the O(nb²) inner loop
+            def a_dma(slot, i):
+                return pltpu.make_async_copy(blk(i, k), a2.at[slot],
+                                             asem.at[slot])
+
             def trail_j(j, _):
                 copy_in(j, k, b_s)
+                n_i = nb - j
 
-                def trail_i(i, _):
-                    copy_in(i, k, a_s)
-                    copy_in(i, j, c_s)
-                    c_s[:] = (
-                        c_s[:]
+                def c_dma(slot, i):
+                    return pltpu.make_async_copy(blk(i, j), c2.at[slot],
+                                                 csem.at[slot])
+
+                # warm-up: start the first pair
+                a_dma(0, j).start()
+                c_dma(0, j).start()
+
+                def trail_i(idx, _):
+                    i = j + idx
+                    cur = jax.lax.rem(idx, 2)
+                    nxt = jax.lax.rem(idx + 1, 2)
+
+                    @pl.when(idx + 1 < n_i)
+                    def _():
+                        a_dma(nxt, i + 1).start()
+                        c_dma(nxt, i + 1).start()
+
+                    a_dma(cur, i).wait()
+                    c_dma(cur, i).wait()
+                    result = (
+                        c2[cur]
                         - jax.lax.dot_general(
-                            a_s[:], b_s[:], (((1,), (1,)), ((), ())),
+                            a2[cur], b_s[:], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
-                    ).astype(c_s.dtype)
-                    copy_out(c_s, i, j)
+                    ).astype(c2.dtype)
+                    c2[cur] = result
+                    wr = pltpu.make_async_copy(c2.at[cur], blk(i, j), wsem)
+                    wr.start()
+                    wr.wait()
                     return 0
 
-                jax.lax.fori_loop(j, nb, trail_i, 0)
+                jax.lax.fori_loop(0, n_i, trail_i, 0)
                 return 0
 
             jax.lax.fori_loop(k + 1, nb, trail_j, 0)
@@ -258,13 +286,16 @@ def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False):
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((Np, Np), K.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bs, bs), K.dtype),  # diag
-            pltpu.VMEM((bs, bs), K.dtype),  # zinv
-            pltpu.VMEM((bs, bs), K.dtype),  # pan
-            pltpu.VMEM((bs, bs), K.dtype),  # a
-            pltpu.VMEM((bs, bs), K.dtype),  # b
-            pltpu.VMEM((bs, bs), K.dtype),  # c
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((bs, bs), K.dtype),      # diag
+            pltpu.VMEM((bs, bs), K.dtype),      # zinv
+            pltpu.VMEM((bs, bs), K.dtype),      # pan
+            pltpu.VMEM((2, bs, bs), K.dtype),   # a double buffer
+            pltpu.VMEM((bs, bs), K.dtype),      # b (panel_j, loop-invariant)
+            pltpu.VMEM((2, bs, bs), K.dtype),   # c double buffer
+            pltpu.SemaphoreType.DMA,            # generic
+            pltpu.SemaphoreType.DMA((2,)),      # a slots
+            pltpu.SemaphoreType.DMA((2,)),      # c slots
+            pltpu.SemaphoreType.DMA,            # write-back
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
