@@ -10,7 +10,7 @@ import time
 import numpy as np
 
 
-def bench_svgp(N=100_000, M=512, B=1024, steps=50):
+def bench_svgp(N=100_000, M=256, B=1024, steps=20):
     import jax
 
     import gpflow_slim_tpu as gfs

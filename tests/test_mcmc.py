@@ -158,3 +158,44 @@ def test_gpmc_binary_classification_smoke():
     pf, _ = m_post.predict_f(X)
     corr = np.corrcoef(np.asarray(pf)[:, 0], 2 * Y[:, 0] - 1)[0, 1]
     assert corr > 0.5
+
+
+def test_hmc_and_nuts_agree_on_gpr_hyperposterior():
+    # the reference's sampler is leapfrog HMC; our HMC matches its
+    # semantics, so HMC↔NUTS agreement on the same GP hyperposterior is the
+    # "posterior moments within MC error" parity check (SURVEY §6)
+    rng = np.random.RandomState(2)
+    X = rng.uniform(0, 1, (30, 1))
+    Y = np.sin(5 * X) + 0.15 * rng.randn(30, 1)
+    k = gfs.kernels.RBF(1, lengthscales=0.3)
+    k.variance = gfs.params.Param(
+        1.0, transform=gfs.transforms.positive(),
+        prior=gfs.priors.LogNormal(0.0, 1.0), name="v")
+    k.lengthscales = gfs.params.Param(
+        0.3, transform=gfs.transforms.positive(),
+        prior=gfs.priors.LogNormal(-1.0, 0.7), name="l")
+    m = gfs.models.GPR(X, Y, kern=k)
+    m.likelihood.variance = gfs.params.Param(
+        0.05, transform=gfs.transforms.positive(),
+        prior=gfs.priors.LogNormal(-2.5, 0.7), name="n")
+    lp, x0, unpack = mcmc.model_logprob(m)
+
+    s_nuts, _ = jax.jit(
+        lambda key: mcmc.nuts(lp, x0, key, num_samples=1500, num_warmup=500)
+    )(jax.random.PRNGKey(0))
+    s_hmc, info = jax.jit(
+        lambda key: mcmc.hmc(lp, x0, key, num_samples=3000, epsilon=0.05,
+                             lmin=10, lmax=25, burn=500,
+                             adapt_step_size=True)
+    )(jax.random.PRNGKey(1))
+    assert float(info["accept_rate"]) > 0.5
+
+    a, b = np.asarray(s_nuts), np.asarray(s_hmc)
+    ess_a = gfs.mcmc.effective_sample_size(a[None])
+    ess_b = gfs.mcmc.effective_sample_size(b[None])
+    # compare unconstrained means within combined MC error (3 sigma)
+    for d in range(a.shape[1]):
+        se = np.sqrt(a[:, d].var() / max(ess_a[d], 4)
+                     + b[:, d].var() / max(ess_b[d], 4))
+        assert abs(a[:, d].mean() - b[:, d].mean()) < 4 * se + 0.05, (
+            d, a[:, d].mean(), b[:, d].mean(), se)

@@ -101,3 +101,38 @@ def test_deep_kernel_in_svgp():
     g = jax.grad(lambda mm: mm.objective())(m)
     gW = np.asarray(g.kern.warp_params[0]["W"].unconstrained)
     assert np.isfinite(gW).all() and np.abs(gW).max() > 0
+
+
+def test_training_resume_from_checkpoint_bit_identical(tmp_path):
+    """Recovery story (SURVEY §5): train 40 steps straight vs train 20,
+    checkpoint (params + opt state), 'restart', resume 20 — identical."""
+    import optax
+
+    from gpflow_slim_tpu import utils
+    from gpflow_slim_tpu.training.optimize import make_step_fn
+
+    rng = np.random.RandomState(0)
+    X, Y = rng.randn(25, 1), rng.randn(25, 1)
+    m = gfs.models.GPR(X, Y, kern=gfs.kernels.RBF(1))
+    opt = optax.adam(0.05)
+    step_fn, (leaves, treedef, opt_state) = make_step_fn(m, opt)
+    step_jit = jax.jit(step_fn)
+
+    # straight-through 40 steps
+    l1, s1 = leaves, opt_state
+    for _ in range(40):
+        l1, s1, _ = step_jit(l1, s1)
+
+    # 20 steps, checkpoint, restore into fresh state, 20 more
+    l2, s2 = leaves, opt_state
+    for _ in range(20):
+        l2, s2, _ = step_jit(l2, s2)
+    p = utils.save_checkpoint(str(tmp_path / "train"), {"l": l2, "s": s2},
+                              step=20)
+    restored = utils.load_checkpoint(p, {"l": leaves, "s": opt_state})
+    l3, s3 = restored["l"], restored["s"]
+    for _ in range(20):
+        l3, s3, _ = step_jit(l3, s3)
+
+    for a, b in zip(l1, l3):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
