@@ -38,7 +38,7 @@ def pad_to_block(K, block_size):
     return Kp, N
 
 
-@partial(jax.jit, static_argnames=("block_size",))
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def blocked_cholesky(K, block_size: int = 256):
     """Lower Cholesky via right-looking blocked elimination.
 
@@ -46,7 +46,17 @@ def blocked_cholesky(K, block_size: int = 256):
     factor the bs×bs diagonal block, TRSM the full-height block column,
     SYRK the trailing matrix — all static-shape, so lax.fori_loop + XLA
     sharding work unchanged.
+
+    custom_vjp: naive reverse-mode through the fori_loop would store the
+    full N×N carry per block step (nb·N² residuals — fatal at N=50k). The
+    analytic Cholesky adjoint (Murray 2016) needs only L itself; its solves
+    run through the same blocked kernels, so the backward stays sharded.
     """
+    return _blocked_cholesky_impl(K, block_size)
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def _blocked_cholesky_impl(K, block_size: int = 256):
     N = K.shape[0]
     if N % block_size != 0:
         raise ValueError(f"N={N} not divisible by block_size={block_size}")
@@ -77,9 +87,35 @@ def blocked_cholesky(K, block_size: int = 256):
     return jnp.tril(L)
 
 
-@partial(jax.jit, static_argnames=("block_size",))
+def _chol_fwd(K, block_size):
+    L = _blocked_cholesky_impl(K, block_size)
+    return L, L
+
+
+def _chol_bwd(block_size, L, g):
+    # Murray (2016): K̄ = ½ sym(L⁻ᵀ (P + Pᵀ) L⁻¹), P = Φ(Lᵀ L̄)
+    Lbar = jnp.tril(g)
+    P = jnp.tril(L.T @ Lbar) - 0.5 * jnp.diag(jnp.diagonal(L.T @ Lbar))
+    PPt = P + P.T
+    tmp = _solve_upper_impl(L.T, PPt, block_size)  # L⁻ᵀ (P+Pᵀ)
+    S = _solve_upper_impl(L.T, tmp.T, block_size).T  # … L⁻¹
+    return (0.25 * (S + S.T),)
+
+
+blocked_cholesky.defvjp(_chol_fwd, _chol_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def blocked_solve_lower(L, B, block_size: int = 256):
-    """Solve L X = B (L lower-tri, blocked forward substitution)."""
+    """Solve L X = B (L lower-tri, blocked forward substitution).
+
+    custom_vjp (standard TRSM adjoint) — avoids nb·(N,P) loop residuals.
+    """
+    return _solve_lower_impl(L, B, block_size)
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def _solve_lower_impl(L, B, block_size: int = 256):
     N = L.shape[0]
     if N % block_size != 0:
         raise ValueError(f"N={N} not divisible by block_size={block_size}")
@@ -104,9 +140,48 @@ def blocked_solve_lower(L, B, block_size: int = 256):
     return X if B.ndim == 2 else X[:, 0]
 
 
-@partial(jax.jit, static_argnames=("block_size",))
+def _sl_fwd(L, B, block_size):
+    X = _solve_lower_impl(L, B, block_size)
+    return X, (L, X)
+
+
+def _sl_bwd(block_size, res, g):
+    L, X = res
+    gB = _solve_upper_impl(L.T, g, block_size)  # L⁻ᵀ g
+    X2 = X if X.ndim == 2 else X[:, None]
+    g2 = gB if gB.ndim == 2 else gB[:, None]
+    gL = -jnp.tril(g2 @ X2.T)
+    return gL, gB
+
+
+blocked_solve_lower.defvjp(_sl_fwd, _sl_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def blocked_solve_upper(U, B, block_size: int = 256):
-    """Solve U X = B (U upper-tri, blocked backward substitution)."""
+    """Solve U X = B (U upper-tri, blocked backward substitution).
+
+    custom_vjp with the TRSM adjoint (see blocked_solve_lower).
+    """
+    return _solve_upper_impl(U, B, block_size)
+
+
+def _su_fwd(U, B, block_size):
+    X = _solve_upper_impl(U, B, block_size)
+    return X, (U, X)
+
+
+def _su_bwd(block_size, res, g):
+    U, X = res
+    gB = _solve_lower_impl(U.T, g, block_size)  # U⁻ᵀ g
+    X2 = X if X.ndim == 2 else X[:, None]
+    g2 = gB if gB.ndim == 2 else gB[:, None]
+    gU = -jnp.triu(g2 @ X2.T)
+    return gU, gB
+
+
+@partial(jax.jit, static_argnames=("block_size",))
+def _solve_upper_impl(U, B, block_size: int = 256):
     N = U.shape[0]
     if N % block_size != 0:
         raise ValueError(f"N={N} not divisible by block_size={block_size}")
@@ -130,3 +205,5 @@ def blocked_solve_upper(U, B, block_size: int = 256):
 
     X = jax.lax.fori_loop(0, nb, body, B2)
     return X if B.ndim == 2 else X[:, 0]
+
+blocked_solve_upper.defvjp(_su_fwd, _su_bwd)
