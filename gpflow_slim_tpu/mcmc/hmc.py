@@ -78,10 +78,13 @@ def hmc(
     inv_mass=None,
     adapt_step_size: bool = False,
     target_accept: float = 0.8,
+    adapt_axis=None,
 ):
     """Run one HMC chain; returns ``(samples, dict(logp, accept_rate, epsilon))``.
 
-    samples: (num_samples, dim) — post burn-in, thinned.
+    samples: (num_samples, dim) — post burn-in, thinned. ``adapt_axis``: a
+    mapped axis name (or tuple) over which dual-averaging accept statistics
+    are ``pmean``-shared across chains during burn-in.
     """
     x0 = jnp.asarray(x0)
     if inv_mass is None:
@@ -104,7 +107,10 @@ def hmc(
             inv_mass,
         )
         if adapt_step_size:
-            da = da_update(da, accept_prob, target=target_accept)
+            stat = accept_prob
+            if adapt_axis is not None:
+                stat = jax.lax.pmean(stat, adapt_axis)
+            da = da_update(da, stat, target=target_accept)
         return (state, da), accept_prob
 
     keys_burn = jax.random.split(key, burn + 1)

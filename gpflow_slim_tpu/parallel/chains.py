@@ -47,7 +47,7 @@ def sample_chains(
         adapt_kw = "adapt_axis"
     elif sampler == "hmc":
         base = _hmc
-        adapt_kw = None
+        adapt_kw = "adapt_axis"  # effective when adapt_step_size=True
     else:
         raise ValueError(f"unknown sampler {sampler!r}")
 

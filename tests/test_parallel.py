@@ -278,3 +278,35 @@ def test_cyclic_cholesky_differentiable(mesh):
     gs = 0.5 * (g + g.T)
     np.testing.assert_allclose(gs, 0.5 * np.linalg.inv(np.asarray(K)),
                                atol=1e-9)
+
+
+def test_hmc_chains_shared_adaptation(mesh):
+    def lp(x):
+        return jnp.sum(-0.5 * jnp.square(x))
+
+    samples, info = parallel.sample_chains(
+        lp, jnp.zeros((8, 2)), jax.random.PRNGKey(2), num_samples=200,
+        sampler="hmc", mesh=mesh, axis="data", epsilon=1e-3, burn=300,
+        adapt_step_size=True,
+    )
+    eps = np.asarray(info["epsilon"])
+    # pmean-shared dual averaging => identical adapted step size everywhere
+    np.testing.assert_allclose(eps, eps.flat[0], rtol=1e-6)
+    assert eps.flat[0] > 0.01  # adapted up from 1e-3
+
+
+def test_distributed_gpr_with_mean_function(mesh):
+    rng = np.random.RandomState(14)
+    N = 32
+    X = rng.uniform(0, 1, (N, 1))
+    Y = 2.0 + np.sin(6 * X) + 0.1 * rng.randn(N, 1)
+    mf = gfs.mean_functions.Constant(c=[1.5])
+    m = gfs.models.GPR(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.4),
+                       mean_function=mf)
+    loss_fn = parallel.make_distributed_gpr_loss(m, mesh, axis="data",
+                                                 block_size=8)
+    assert abs(float(m.objective()) - float(jax.jit(loss_fn)(m))) < 1e-8
+    # mean-function param gets a gradient through the distributed path
+    g = jax.jit(jax.grad(loss_fn))(m)
+    gc = float(np.squeeze(np.asarray(g.mean_function.c.unconstrained)))
+    assert np.isfinite(gc) and abs(gc) > 1e-3
