@@ -11,8 +11,8 @@ import numpy as np
 import gpflow_slim_tpu as gfs
 
 rng = np.random.RandomState(0)
-X = rng.uniform(0, 1, (100, 1))
-Y = np.sin(6 * X) + 0.2 * rng.randn(100, 1)
+X = rng.uniform(0, 1, (80, 1))
+Y = np.sin(6 * X) + 0.2 * rng.randn(80, 1)
 
 k = gfs.kernels.RBF(1)
 k.variance = gfs.params.Param(
@@ -28,10 +28,10 @@ m.likelihood.variance = gfs.params.Param(
 
 logprob, x0, unpack = gfs.mcmc.model_logprob(m)
 
-C = 8
+C = 4  # scale up freely on real hardware
 samples, info = gfs.parallel.sample_chains(
     logprob, jnp.tile(x0, (C, 1)), jax.random.PRNGKey(0),
-    num_samples=500, sampler="nuts", num_warmup=300,
+    num_samples=300, sampler="nuts", num_warmup=200,
 )
 s = np.asarray(samples)
 print("chains:", s.shape)

@@ -20,6 +20,7 @@ from . import (
     config,
     densities,
     features,
+    io,
     kernels,
     kullback_leiblers,
     likelihoods,
