@@ -82,52 +82,96 @@ def conditional(Xnew, X, kern, f, *, full_cov=False, q_sqrt=None, white=False):
 
 
 def _rbf_psi_stats(kern, Z, Xmu, Xvar):
-    """Closed-form RBF kernel expectations under q(x) = N(Xmu, diag(Xvar)).
+    """Closed-form RBF kernel expectations under q(x) = N(Xmu, Σ).
 
+    ``Xvar`` is (N, D) for diagonal Σ or (N, D, D) for full covariance.
     Returns (ψ0 scalar, ψ1 (N, M), ψ2 (N, M, M)):
       ψ0    = E[k(x,x)] = σ²
-      ψ1_nm = E[k(x_n, z_m)]
-      ψ2_nmm' = E[k(x_n, z_m) k(x_n, z_m')]
-    (Titsias/GPLVM psi-statistics; diagonal input covariance.)
+      ψ1_nm = E[k(x_n, z_m)]   = σ² |ΣΛ⁻¹+I|^{-½} exp(−½ dᵀ(Σ+Λ)⁻¹d)
+      ψ2_nmm' = E[k(x_n,z_m)k(x_n,z_m')]
+              = σ⁴ |2ΣΛ⁻¹+I|^{-½} exp(−¼ δzᵀΛ⁻¹δz − ½ dᵀ(Σ+Λ/2)⁻¹d)
+    with Λ = diag(ℓ²), δz = z_m − z_m', d = μ − z (resp. μ − z̄).
+    (Titsias/GPLVM psi-statistics.)
     """
     var = jnp.squeeze(kern.variance.value)
     ls2 = jnp.square(kern.lengthscales.value)  # (D,) or scalar
     D = Z.shape[1]
     ls2 = jnp.broadcast_to(ls2, (D,))
-
     psi0 = var
 
-    # ψ1: denom_d = Xvar_d + ℓ²_d
-    denom1 = Xvar + ls2[None, :]  # (N, D)
-    d1 = jnp.square(Xmu[:, None, :] - Z[None, :, :]) / denom1[:, None, :]
-    log_det1 = 0.5 * jnp.sum(jnp.log(Xvar / ls2[None, :] + 1.0), axis=-1)
-    psi1 = var * jnp.exp(-0.5 * jnp.sum(d1, axis=-1) - log_det1[:, None])
+    if Xvar.ndim == 2:  # diagonal Σ — elementwise closed forms
+        denom1 = Xvar + ls2[None, :]  # (N, D)
+        d1 = jnp.square(Xmu[:, None, :] - Z[None, :, :]) / denom1[:, None, :]
+        log_det1 = 0.5 * jnp.sum(jnp.log(Xvar / ls2[None, :] + 1.0), axis=-1)
+        psi1 = var * jnp.exp(-0.5 * jnp.sum(d1, axis=-1) - log_det1[:, None])
 
-    # ψ2: cross term between z_m and z_m'
+        Zbar = 0.5 * (Z[:, None, :] + Z[None, :, :])  # (M, M, D)
+        dZ = jnp.square(Z[:, None, :] - Z[None, :, :]) / ls2[None, None, :]
+        denom2 = Xvar[:, None, None, :] + 0.5 * ls2[None, None, None, :]
+        dmu = (
+            jnp.square(Xmu[:, None, None, :] - Zbar[None, :, :, :]) / denom2
+        )
+        log_det2 = 0.5 * jnp.sum(
+            jnp.log(2.0 * Xvar / ls2[None, :] + 1.0), axis=-1
+        )  # (N,)
+        psi2 = (
+            jnp.square(var)
+            * jnp.exp(
+                -0.25 * jnp.sum(dZ, axis=-1)[None, :, :]
+                - 0.5 * jnp.sum(dmu, axis=-1)
+                - log_det2[:, None, None]
+            )
+        )
+        return psi0, psi1, psi2
+
+    # full Σ (N, D, D): per-n D×D Cholesky solves (D is small)
+    Lam = jnp.diag(ls2)
+    eyeD = jnp.eye(D, dtype=Z.dtype)
     Zbar = 0.5 * (Z[:, None, :] + Z[None, :, :])  # (M, M, D)
     dZ = jnp.square(Z[:, None, :] - Z[None, :, :]) / ls2[None, None, :]
-    denom2 = Xvar[:, None, None, :] + 0.5 * ls2[None, None, None, :]
-    dmu = (
-        jnp.square(Xmu[:, None, None, :] - Zbar[None, :, :, :]) / denom2
-    )
-    log_det2 = 0.5 * jnp.sum(
-        jnp.log(2.0 * Xvar / ls2[None, :] + 1.0), axis=-1
-    )  # (N,)
-    psi2 = (
-        jnp.square(var)
-        * jnp.exp(
-            -0.25 * jnp.sum(dZ, axis=-1)[None, :, :]
-            - 0.5 * jnp.sum(dmu, axis=-1)
-            - log_det2[:, None, None]
+    quad_dZ = -0.25 * jnp.sum(dZ, axis=-1)  # (M, M)
+
+    def per_n(mu_n, Sig_n):
+        # ψ1 pieces
+        C1 = cholesky(Sig_n + Lam, lower=True)
+        d = mu_n[None, :] - Z  # (M, D)
+        a = solve_triangular(C1, d.T, lower=True)  # (D, M)
+        quad1 = -0.5 * jnp.sum(jnp.square(a), axis=0)  # (M,)
+        # |ΣΛ⁻¹+I| = |Σ+Λ| / |Λ|
+        logdet1 = (
+            2.0 * jnp.sum(jnp.log(jnp.diagonal(C1)))
+            - jnp.sum(jnp.log(ls2))
         )
-    )
+        psi1_n = var * jnp.exp(quad1 - 0.5 * logdet1)
+
+        # ψ2 pieces
+        C2 = cholesky(Sig_n + 0.5 * Lam, lower=True)
+        dmu = mu_n[None, None, :] - Zbar  # (M, M, D)
+        b = solve_triangular(
+            C2, jnp.reshape(dmu, (-1, D)).T, lower=True
+        )  # (D, M²)
+        quad2 = -0.5 * jnp.reshape(
+            jnp.sum(jnp.square(b), axis=0), (Z.shape[0], Z.shape[0])
+        )
+        # |2ΣΛ⁻¹+I| = |Σ+Λ/2| / |Λ/2|
+        logdet2 = (
+            2.0 * jnp.sum(jnp.log(jnp.diagonal(C2)))
+            - jnp.sum(jnp.log(0.5 * ls2))
+        )
+        psi2_n = jnp.square(var) * jnp.exp(
+            quad_dZ + quad2 - 0.5 * logdet2
+        )
+        return psi1_n, psi2_n
+
+    psi1, psi2 = jax.vmap(per_n)(Xmu, Xvar)
     return psi0, psi1, psi2
 
 
 def uncertain_conditional(Xnew_mu, Xnew_var, feat, kern, q_mu, q_sqrt, *,
                           mean_function=None, white=False):
     """Predictive moments of f* when the INPUT is uncertain:
-    x* ~ N(Xnew_mu, diag(Xnew_var)) (moment matching / GP-LVM psi-statistics).
+    x* ~ N(Xnew_mu, Σ) with Σ diagonal (Xnew_var (N, D)) or full
+    (Xnew_var (N, D, D)) — moment matching / GP-LVM psi-statistics.
 
     Supported for RBF kernels with InducingPoints (closed forms); other
     combinations raise. Returns (mean (N, P), var (N, P)).

@@ -93,3 +93,51 @@ def test_uncertain_conditional_rejects_non_rbf():
             jnp.zeros((3, 2)), jnp.ones((3, 2)), feat,
             gfs.kernels.Matern32(2), q_mu, q_sqrt,
         )
+
+
+def test_full_covariance_matches_diag_when_diagonal():
+    feat, kern, q_mu, q_sqrt = setup(white=False)
+    N = 4
+    Xmu = rng.randn(N, 2) * 0.5
+    Xvar_diag = 0.05 + 0.15 * rng.rand(N, 2)
+    Xvar_full = jnp.asarray(
+        np.stack([np.diag(v) for v in Xvar_diag])
+    )
+    m1, v1 = uncertain_conditional(
+        jnp.asarray(Xmu), jnp.asarray(Xvar_diag), feat, kern, q_mu, q_sqrt)
+    m2, v2 = uncertain_conditional(
+        jnp.asarray(Xmu), Xvar_full, feat, kern, q_mu, q_sqrt)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-8)
+
+
+def test_full_covariance_matches_mc():
+    feat, kern, q_mu, q_sqrt = setup(white=True)
+    N = 3
+    Xmu = rng.randn(N, 2) * 0.5
+    A = rng.randn(N, 2, 2) * 0.2
+    Sig = A @ np.swapaxes(A, 1, 2) + 0.05 * np.eye(2)
+    mean, var = uncertain_conditional(
+        jnp.asarray(Xmu), jnp.asarray(Sig), feat, kern, q_mu, q_sqrt,
+        white=True)
+
+    # MC over correlated inputs
+    S = 60_000
+    Ls = np.linalg.cholesky(Sig)
+    eps = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (S, N, 2)))
+    xs = Xmu[None] + np.einsum("ndk,snk->snd", Ls, eps)
+    Z = feat.Z.value
+    M = Z.shape[0]
+    Kmm = kern.K(Z) + gfs.config.default_jitter() * jnp.eye(M)
+
+    def moments_at(x):
+        Kmn = kern.K(Z, jnp.asarray(x))
+        Knn = kern.Kdiag(jnp.asarray(x))
+        return base_conditional(Kmn, Kmm, Knn, q_mu, q_sqrt=q_sqrt,
+                                white=True)
+
+    ms, vs = jax.lax.map(moments_at, jnp.asarray(xs), batch_size=512)
+    Em = np.asarray(jnp.mean(ms, axis=0))
+    Ev = np.asarray(jnp.mean(vs, axis=0) + jnp.var(ms, axis=0))
+    np.testing.assert_allclose(np.asarray(mean), Em, atol=0.02)
+    np.testing.assert_allclose(np.asarray(var), Ev, atol=0.03)
