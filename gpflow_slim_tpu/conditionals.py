@@ -20,7 +20,7 @@ from jax.scipy.linalg import cholesky, solve_triangular
 from . import config
 
 __all__ = ["base_conditional", "base_conditional_with_lm", "conditional",
-           "feature_conditional", "uncertain_conditional"]
+           "feature_conditional", "uncertain_conditional", "psi_statistics"]
 
 
 def base_conditional(Kmn, Kmm, Knn, f, *, full_cov=False, q_sqrt=None, white=False):
@@ -97,7 +97,7 @@ def _rbf_psi_stats(kern, Z, Xmu, Xvar):
     ls2 = jnp.square(kern.lengthscales.value)  # (D,) or scalar
     D = Z.shape[1]
     ls2 = jnp.broadcast_to(ls2, (D,))
-    psi0 = var
+    psi0 = jnp.full((Xmu.shape[0],), var, dtype=Xmu.dtype)
 
     if Xvar.ndim == 2:  # diagonal Σ — elementwise closed forms
         denom1 = Xvar + ls2[None, :]  # (N, D)
@@ -167,23 +167,77 @@ def _rbf_psi_stats(kern, Z, Xmu, Xvar):
     return psi0, psi1, psi2
 
 
+def _default_psi_gh_points(D: int) -> int:
+    """Per-dimension Gauss–Hermite order for the tensor-product grid,
+    capped so the total node count H^D stays ≲ 4000."""
+    return min(20, max(3, int(4000.0 ** (1.0 / D))))
+
+
+def _quadrature_psi_stats(kern, Z, Xmu, Xvar, H: int):
+    """Kernel expectations ψ0/ψ1/ψ2 under q(x)=N(Xmu, Σ) for ARBITRARY
+    kernels via tensor-product Gauss–Hermite quadrature.
+
+    ψ0_n = E[k(x_n, x_n)], ψ1 = E[k(x_n, Z)], ψ2_n = E[k(x_n,Z) k(x_n,Z)ᵀ].
+    ``Xvar`` is (N, D) diagonal or (N, D, D) full. Node count is H^D — only
+    sensible for small input dimension (the closed-form RBF path handles the
+    common case; this is the generic fallback, mirroring the quadrature
+    fallback strategy of the reference lineage's kernel-expectation code).
+    """
+    from . import quadrature as quad_mod
+
+    N, D = Xmu.shape
+    xi, w = quad_mod.mvhermgauss(H, D)  # (S, D), (S,)
+    dtype = Xmu.dtype
+    xi = jnp.asarray(xi, dtype=dtype)
+    w = jnp.asarray(w, dtype=dtype) / jnp.pi ** (D / 2.0)  # normalized
+
+    if Xvar.ndim == 2:  # diagonal Σ: x = μ + √(2σ²)·ξ
+        def nodes_for(mu_n, var_n):
+            return mu_n[None, :] + jnp.sqrt(2.0 * var_n)[None, :] * xi
+    else:  # full Σ: x = μ + √2·L·ξ
+        def nodes_for(mu_n, Sig_n):
+            Ln = cholesky(Sig_n, lower=True)
+            return mu_n[None, :] + jnp.sqrt(2.0) * xi @ Ln.T
+
+    def per_n(mu_n, var_n):
+        Xs = nodes_for(mu_n, var_n)  # (S, D)
+        psi0_n = w @ kern.Kdiag(Xs)  # scalar
+        Kxz = kern.K(Xs, Z)  # (S, M)
+        psi1_n = w @ Kxz  # (M,)
+        psi2_n = jnp.einsum("s,sm,sk->mk", w, Kxz, Kxz)  # (M, M)
+        return psi0_n, psi1_n, psi2_n
+
+    return jax.vmap(per_n)(Xmu, Xvar)
+
+
+def psi_statistics(kern, Z, Xmu, Xvar, *, num_gauss_hermite_points=None):
+    """Kernel expectations (ψ0 (N,), ψ1 (N,M), ψ2 (N,M,M)) under
+    q(x_n)=N(Xmu_n, Σ_n): closed-form for plain RBF, Gauss–Hermite
+    quadrature for any other kernel. Shared by ``uncertain_conditional``
+    and ``models.BayesianGPLVM``."""
+    from . import kernels as kernels_mod
+
+    if isinstance(kern, kernels_mod.RBF) and kern.active_dims is None:
+        return _rbf_psi_stats(kern, Z, Xmu, Xvar)
+    H = num_gauss_hermite_points or _default_psi_gh_points(Z.shape[1])
+    return _quadrature_psi_stats(kern, Z, Xmu, Xvar, H)
+
+
 def uncertain_conditional(Xnew_mu, Xnew_var, feat, kern, q_mu, q_sqrt, *,
-                          mean_function=None, white=False):
+                          mean_function=None, white=False,
+                          num_gauss_hermite_points=None):
     """Predictive moments of f* when the INPUT is uncertain:
     x* ~ N(Xnew_mu, Σ) with Σ diagonal (Xnew_var (N, D)) or full
     (Xnew_var (N, D, D)) — moment matching / GP-LVM psi-statistics.
 
-    Supported for RBF kernels with InducingPoints (closed forms); other
-    combinations raise. Returns (mean (N, P), var (N, P)).
+    RBF kernels with InducingPoints use closed forms; any other kernel
+    falls back to tensor-product Gauss–Hermite quadrature over the input
+    distribution (``num_gauss_hermite_points`` per dimension; defaults to
+    a grid of ≲4000 nodes). Returns (mean (N, P), var (N, P)).
     ref:gpflowSlim/conditionals.py ``uncertain_conditional`` role.
     """
     from . import features as features_mod
-    from . import kernels as kernels_mod
 
-    if not isinstance(kern, kernels_mod.RBF):
-        raise NotImplementedError(
-            "uncertain_conditional requires an RBF kernel"
-        )
     if not isinstance(feat, features_mod.InducingPoints):
         raise NotImplementedError(
             "uncertain_conditional requires InducingPoints"
@@ -213,7 +267,10 @@ def uncertain_conditional(Xnew_mu, Xnew_var, feat, kern, q_mu, q_sqrt, *,
         Lq_u = Sq
     cov_u = Lq_u @ jnp.swapaxes(Lq_u, -1, -2)  # (P, M, M)
 
-    psi0, psi1, psi2 = _rbf_psi_stats(kern, Z, Xnew_mu, Xnew_var)
+    psi0, psi1, psi2 = psi_statistics(
+        kern, Z, Xnew_mu, Xnew_var,
+        num_gauss_hermite_points=num_gauss_hermite_points,
+    )
 
     # α_p = Kuu⁻¹ mu_u (M, P)
     Kinv_mu = solve_triangular(
@@ -238,7 +295,7 @@ def uncertain_conditional(Xnew_mu, Xnew_var, feat, kern, q_mu, q_sqrt, *,
     tr_B_psi2 = jnp.einsum("pij,nij->np", B, psi2)  # (N, P)
 
     var = (
-        psi0
+        psi0[:, None]
         - Kinv_psi2_tr[:, None]
         + tr_B_psi2
         - jnp.square(mean)

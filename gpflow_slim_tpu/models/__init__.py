@@ -6,8 +6,9 @@ from .svgp import SVGP
 from .vgp import VGP, VGPOpperArchambeau
 from .gpmc import GPMC
 from .sgpmc import SGPMC
+from .gplvm import GPLVM, BayesianGPLVM, pca_reduce
 
 __all__ = [
     "Model", "GPModel", "GPR", "GPRCG", "SGPR", "GPRFITC", "SVGP", "VGP", "VGPOpperArchambeau",
-    "GPMC", "SGPMC",
+    "GPMC", "SGPMC", "GPLVM", "BayesianGPLVM", "pca_reduce",
 ]

@@ -86,13 +86,46 @@ def test_uncertain_conditional_zero_variance_reduces_to_conditional():
     np.testing.assert_allclose(np.asarray(var), np.asarray(v2), atol=1e-4)
 
 
-def test_uncertain_conditional_rejects_non_rbf():
+def test_quadrature_path_matches_rbf_closed_form():
+    """The generic GH-quadrature ψ-stats must agree with the RBF closed
+    forms (same kernel, forced through the fallback)."""
+    from gpflow_slim_tpu.conditionals import (_quadrature_psi_stats,
+                                              _rbf_psi_stats)
+
     feat, kern, q_mu, q_sqrt = setup(white=False)
-    with pytest.raises(NotImplementedError):
-        uncertain_conditional(
-            jnp.zeros((3, 2)), jnp.ones((3, 2)), feat,
-            gfs.kernels.Matern32(2), q_mu, q_sqrt,
-        )
+    N = 4
+    Xmu = rng.randn(N, 2) * 0.5
+    Xvar = 0.05 + 0.1 * rng.rand(N, 2)
+    p0a, p1a, p2a = _rbf_psi_stats(kern, feat.Z.value, jnp.asarray(Xmu),
+                                   jnp.asarray(Xvar))
+    p0q, p1q, p2q = _quadrature_psi_stats(kern, feat.Z.value,
+                                          jnp.asarray(Xmu),
+                                          jnp.asarray(Xvar), H=30)
+    np.testing.assert_allclose(np.asarray(p0q), np.asarray(p0a), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p1q), np.asarray(p1a), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2q), np.asarray(p2a), atol=1e-6)
+
+
+@pytest.mark.parametrize("white", [False, True])
+def test_uncertain_conditional_matern_quadrature_matches_mc(white):
+    """Non-RBF kernels route through the quadrature ψ-stats fallback."""
+    Z = rng.randn(5, 2)
+    kern = gfs.kernels.Matern32(2, variance=1.1, lengthscales=1.2)
+    M, P = 5, 2
+    q_mu = jnp.asarray(rng.randn(M, P) * 0.5)
+    A = rng.randn(P, M, M) * 0.1
+    q_sqrt = jnp.asarray(np.tril(A) + 0.3 * np.eye(M))
+    feat = gfs.features.InducingPoints(Z)
+    N = 3
+    Xmu = rng.randn(N, 2) * 0.5
+    Xvar = 0.05 + 0.1 * rng.rand(N, 2)
+    mean, var = uncertain_conditional(
+        jnp.asarray(Xmu), jnp.asarray(Xvar), feat, kern, q_mu, q_sqrt,
+        white=white,
+    )
+    Em, Ev = mc_moments(feat, kern, q_mu, q_sqrt, Xmu, Xvar, white, S=60_000)
+    np.testing.assert_allclose(np.asarray(mean), Em, atol=0.02)
+    np.testing.assert_allclose(np.asarray(var), Ev, atol=0.03)
 
 
 def test_full_covariance_matches_diag_when_diagonal():
