@@ -171,15 +171,25 @@ class Stationary(Kernel):
         return X / self.lengthscales.value
 
     def square_dist(self, X, X2):
-        """ℓ-scaled pairwise squared distance via the matmul expansion."""
+        """ℓ-scaled pairwise squared distance via the matmul expansion.
+
+        The cross matmul runs at Precision.HIGHEST: the expansion relies on
+        exact cancellation near the diagonal, and TPU default bf16-product
+        passes leave O(2⁻⁹)·‖x‖² residuals there (large enough to destroy
+        PD-ness at short lengthscales). The O(N²D) cost is negligible next
+        to the O(N³) factorizations these matrices feed.
+        """
         X = self._scaled(X)
         Xs = jnp.sum(jnp.square(X), axis=-1)
+        hp = jax.lax.Precision.HIGHEST
         if X2 is None:
-            d = -2.0 * (X @ X.T) + Xs[:, None] + Xs[None, :]
+            d = -2.0 * jnp.matmul(X, X.T, precision=hp) \
+                + Xs[:, None] + Xs[None, :]
         else:
             X2 = self._scaled(X2)
             X2s = jnp.sum(jnp.square(X2), axis=-1)
-            d = -2.0 * (X @ X2.T) + Xs[:, None] + X2s[None, :]
+            d = -2.0 * jnp.matmul(X, X2.T, precision=hp) \
+                + Xs[:, None] + X2s[None, :]
         return jnp.maximum(d, 0.0)
 
     def euclid_dist(self, X, X2):

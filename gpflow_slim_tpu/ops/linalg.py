@@ -33,7 +33,10 @@ def cholesky(K):
     if _pallas_active():
         from . import pallas_cholesky
 
-        return pallas_cholesky.cholesky(K)
+        # measured v5e crossover: bs=512 wins ≥~6k (DMA-bound SYRK likes
+        # the higher arithmetic intensity), bs=256 below (less padding)
+        bs = 512 if K.shape[0] >= 6144 else 256
+        return pallas_cholesky.cholesky(K, bs)
     return _xla_cholesky(K, lower=True)
 
 

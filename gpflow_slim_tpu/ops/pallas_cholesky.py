@@ -82,11 +82,48 @@ def _vmem_tri_inverse_small(L):
     return jax.lax.fori_loop(0, bs, body, Z0)
 
 
+def _vmem_tri_inverse_newton(L):
+    """Z = L⁻¹ via Newton–Schulz — EXACT in ⌈log2(bs)⌉ iterations.
+
+    Write L = D(I+N) with N strictly lower (nilpotent, Nᵇˢ = 0). With
+    X₀ = D⁻¹ (reciprocal diagonal), the residual E₀ = I − L·X₀ is strictly
+    lower-triangular, and each Newton step X ← X(2I − LX) squares it:
+    E_{t} = E₀^(2^t) = 0 once 2^t ≥ bs. So the O(bs)-step sequential
+    substitution loop becomes ⌈log2 bs⌉ MXU GEMM pairs — the sequential
+    scalar chain that dominated the kernel's critical path disappears.
+    """
+    bs = L.shape[0]
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+    eye = (r2 == c2).astype(L.dtype)
+    d = jnp.sum(L * eye, axis=1, keepdims=True)  # (bs, 1) diagonal
+    X = eye / d  # D⁻¹
+    two_eye = 2.0 * eye
+    n_iter = max(1, int(np.ceil(np.log2(bs))))
+    for _ in range(n_iter):
+        X = _mm(X, two_eye - _mm(L, X))
+    return X * _tril_mask(bs, L.dtype)
+
+
+# MXU pass count for every GEMM in the factorization. HIGHEST = full-f32
+# (6 bf16 passes): the trailing SYRK subtracts nearly-equal quantities, and
+# default bf16-product error (~2⁻⁹ relative) can push small pivots negative
+# when the jitter floor is 1e-4 — NaN, not just inaccuracy. Overridable for
+# experiments via _set_mm_precision.
+_MM_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _set_mm_precision(p):
+    global _MM_PRECISION
+    _MM_PRECISION = p
+
+
 def _mm(A, B, ta=False, tb=False):
     dims = ((1,) if not ta else (0,), (0,) if not tb else (1,))
     out = jax.lax.dot_general(
         A, B, ((dims[0], dims[1]), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_MM_PRECISION,
     )
     return out.astype(A.dtype)
 
@@ -126,7 +163,7 @@ def _vmem_cholesky(a):
 
     for p in range(nb):
         Ld = _vmem_cholesky_small(B[p][p])
-        Zd = _vmem_tri_inverse_small(Ld)
+        Zd = _vmem_tri_inverse_newton(Ld)
         B[p][p] = Ld
         for j in range(p + 1, nb):
             B[p][j] = zero  # upper triangle of the result
@@ -155,7 +192,7 @@ def _vmem_tri_inverse(L):
     LB = _split_blocks(L, s)
     zero = jnp.zeros((s, s), L.dtype)
 
-    Zd = [_vmem_tri_inverse_small(LB[i][i]) for i in range(nb)]
+    Zd = [_vmem_tri_inverse_newton(LB[i][i]) for i in range(nb)]
     Z = [[zero for _ in range(nb)] for _ in range(nb)]
     for i in range(nb):
         Z[i][i] = Zd[i]
@@ -172,7 +209,7 @@ def _make_chol_kernel(nb: int, bs: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(_, A, diag, zinv, pan, a2, b_s, c2, sem, asem, csem, wsem):
+    def kernel(_, A, zinv, a2, b_s, c2, sem, asem, csem, wsem):
         def blk(i, j):
             return A.at[pl.ds(i * bs, bs), pl.ds(j * bs, bs)]
 
@@ -186,22 +223,33 @@ def _make_chol_kernel(nb: int, bs: int):
             cp.start()
             cp.wait()
 
+        # VMEM is the scarce resource (16 MiB scoped budget shared with the
+        # in-VMEM factor's temporaries): the diagonal/panel phases borrow
+        # SYRK buffers that are dead at that point in the iteration —
+        # diag ≡ c2[0], pan ≡ a2[0] — instead of owning their own tiles.
+        diag = c2.at[0]
+        pan = a2.at[0]
+
         def step_k(k, _):
             # 1) factor diagonal block
             copy_in(k, k, diag)
-            Lkk = _vmem_cholesky(diag[:])
-            diag[:] = Lkk
+            Lkk = _vmem_cholesky(c2[0])
+            c2[0] = Lkk
             copy_out(diag, k, k)
-            # 2) invert it once: panel TRSM becomes GEMM
+            # 2) invert it once so the panel TRSM becomes a GEMM. Blocked
+            # form: _SUB-wide diagonal inverses via log-depth Newton, rest
+            # via static MXU matmuls (full-tile Newton would need ~4 extra
+            # bs² VMEM temporaries — over budget at bs=512)
             zinv[:] = _vmem_tri_inverse(Lkk)
 
             # 3) panel: L[i,k] = A[i,k] @ Lkk⁻ᵀ
             def panel_body(i, _):
                 copy_in(i, k, pan)
-                pan[:] = jax.lax.dot_general(
-                    pan[:], zinv[:], (((1,), (1,)), ((), ())),
+                a2[0] = jax.lax.dot_general(
+                    a2[0], zinv[:], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).astype(pan.dtype)
+                    precision=_MM_PRECISION,
+                ).astype(a2.dtype)
                 copy_out(pan, i, k)
                 return 0
 
@@ -244,6 +292,7 @@ def _make_chol_kernel(nb: int, bs: int):
                         - jax.lax.dot_general(
                             a2[cur], b_s[:], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
+                            precision=_MM_PRECISION,
                         )
                     ).astype(c2.dtype)
                     c2[cur] = result
@@ -286,12 +335,10 @@ def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False):
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((Np, Np), K.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bs, bs), K.dtype),      # diag
             pltpu.VMEM((bs, bs), K.dtype),      # zinv
-            pltpu.VMEM((bs, bs), K.dtype),      # pan
-            pltpu.VMEM((2, bs, bs), K.dtype),   # a double buffer
+            pltpu.VMEM((2, bs, bs), K.dtype),   # a double buffer (+pan)
             pltpu.VMEM((bs, bs), K.dtype),      # b (panel_j, loop-invariant)
-            pltpu.VMEM((2, bs, bs), K.dtype),   # c double buffer
+            pltpu.VMEM((2, bs, bs), K.dtype),   # c double buffer (+diag)
             pltpu.SemaphoreType.DMA,            # generic
             pltpu.SemaphoreType.DMA((2,)),      # a slots
             pltpu.SemaphoreType.DMA((2,)),      # c slots

@@ -56,9 +56,15 @@ def _gram_kernel(kind, x_ref, y_ref, var_ref, out_ref):
     y = y_ref[:]
     xs = jnp.sum(jnp.square(x), axis=1, keepdims=True)  # (TM, 1)
     ys = jnp.sum(jnp.square(y), axis=1, keepdims=True)  # (TN, 1)
+    # HIGHEST: full-f32 MXU passes. The d² expansion is cancellation-
+    # critical (diag must cancel to ~0); default bf16-product passes give
+    # O(2⁻⁹) relative error — at ‖x‖²~1e2 that is O(0.4) absolute on the
+    # diagonal, enough to break PD-ness downstream. D is small, so the
+    # extra passes cost nothing next to the tile's elementwise map.
     cross = jax.lax.dot_general(
         x, y, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (TM, TN)
     d2 = jnp.maximum(xs - 2.0 * cross + ys.T, 0.0)
     out_ref[:] = _apply_map(kind, var_ref[0, 0], d2).astype(out_ref.dtype)
