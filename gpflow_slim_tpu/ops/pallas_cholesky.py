@@ -209,7 +209,7 @@ def _make_chol_kernel(nb: int, bs: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(_, A, zinv, a2, b_s, c2, sem, asem, csem, wsem):
+    def kernel(_, A, diag, zinv, pan, a2, b_s, c2, sem, asem, csem, wsem):
         def blk(i, j):
             return A.at[pl.ds(i * bs, bs), pl.ds(j * bs, bs)]
 
@@ -223,33 +223,23 @@ def _make_chol_kernel(nb: int, bs: int):
             cp.start()
             cp.wait()
 
-        # VMEM is the scarce resource (16 MiB scoped budget shared with the
-        # in-VMEM factor's temporaries): the diagonal/panel phases borrow
-        # SYRK buffers that are dead at that point in the iteration —
-        # diag ≡ c2[0], pan ≡ a2[0] — instead of owning their own tiles.
-        diag = c2.at[0]
-        pan = a2.at[0]
-
         def step_k(k, _):
             # 1) factor diagonal block
             copy_in(k, k, diag)
-            Lkk = _vmem_cholesky(c2[0])
-            c2[0] = Lkk
+            Lkk = _vmem_cholesky(diag[:])
+            diag[:] = Lkk
             copy_out(diag, k, k)
-            # 2) invert it once so the panel TRSM becomes a GEMM. Blocked
-            # form: _SUB-wide diagonal inverses via log-depth Newton, rest
-            # via static MXU matmuls (full-tile Newton would need ~4 extra
-            # bs² VMEM temporaries — over budget at bs=512)
-            zinv[:] = _vmem_tri_inverse(Lkk)
+            # 2) invert it once (log-depth Newton): TRSM becomes GEMM
+            zinv[:] = _vmem_tri_inverse_newton(Lkk)
 
             # 3) panel: L[i,k] = A[i,k] @ Lkk⁻ᵀ
             def panel_body(i, _):
                 copy_in(i, k, pan)
-                a2[0] = jax.lax.dot_general(
-                    a2[0], zinv[:], (((1,), (1,)), ((), ())),
+                pan[:] = jax.lax.dot_general(
+                    pan[:], zinv[:], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=_MM_PRECISION,
-                ).astype(a2.dtype)
+                ).astype(pan.dtype)
                 copy_out(pan, i, k)
                 return 0
 
@@ -335,10 +325,12 @@ def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False):
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((Np, Np), K.dtype),
         scratch_shapes=[
+            pltpu.VMEM((bs, bs), K.dtype),      # diag
             pltpu.VMEM((bs, bs), K.dtype),      # zinv
-            pltpu.VMEM((2, bs, bs), K.dtype),   # a double buffer (+pan)
+            pltpu.VMEM((bs, bs), K.dtype),      # pan
+            pltpu.VMEM((2, bs, bs), K.dtype),   # a double buffer
             pltpu.VMEM((bs, bs), K.dtype),      # b (panel_j, loop-invariant)
-            pltpu.VMEM((2, bs, bs), K.dtype),   # c double buffer (+diag)
+            pltpu.VMEM((2, bs, bs), K.dtype),   # c double buffer
             pltpu.SemaphoreType.DMA,            # generic
             pltpu.SemaphoreType.DMA((2,)),      # a slots
             pltpu.SemaphoreType.DMA((2,)),      # c slots
