@@ -42,7 +42,10 @@ def cholesky(K):
 
 def solve_lower(L, B):
     """Solve L x = B with L lower-triangular."""
-    if _pallas_active():
+    # thin RHS (e.g. the (N, P) targets of GPR, P small) can't feed the
+    # MXU tiles the blocked kernel is built around — XLA's substitution
+    # solve wins there; route Pallas only for wide RHS panels
+    if _pallas_active() and B.ndim == 2 and B.shape[1] >= 128:
         from . import pallas_trsm
 
         return pallas_trsm.solve_lower(L, B)
@@ -51,7 +54,7 @@ def solve_lower(L, B):
 
 def solve_upper(U, B):
     """Solve U x = B with U upper-triangular."""
-    if _pallas_active():
+    if _pallas_active() and B.ndim == 2 and B.shape[1] >= 128:
         from . import pallas_trsm
 
         return pallas_trsm.solve_upper(U, B)

@@ -18,7 +18,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .pallas_cholesky import _vmem_tri_inverse
+from .pallas_cholesky import _MM_PRECISION, _vmem_tri_inverse
 
 
 def _make_trsm_kernel(nb: int, bs: int, pcols: int, lower: bool):
@@ -49,6 +49,7 @@ def _make_trsm_kernel(nb: int, bs: int, pcols: int, lower: bool):
             xk[:] = jax.lax.dot_general(
                 zinv[:], xk[:], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_MM_PRECISION,
             ).astype(xk.dtype)
             copy(xk, Xblk(k))
 
@@ -62,6 +63,7 @@ def _make_trsm_kernel(nb: int, bs: int, pcols: int, lower: bool):
                     - jax.lax.dot_general(
                         lblk[:], xk[:], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=_MM_PRECISION,
                     )
                 ).astype(xi.dtype)
                 copy(xi, Xblk(i))
