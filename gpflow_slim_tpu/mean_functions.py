@@ -7,6 +7,7 @@ matching the reference's operator algebra.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,6 +21,7 @@ __all__ = [
     "Linear",
     "Additive",
     "Product",
+    "SwitchedMeanFunction",
 ]
 
 
@@ -86,3 +88,29 @@ class Product(MeanFunction):
 
     def __call__(self, X):
         return self.prod_1(X) * self.prod_2(X)
+
+
+class SwitchedMeanFunction(MeanFunction):
+    """Per-group mean functions selected by X's LAST column (the group
+    index), the companion of ``likelihoods.SwitchedLikelihood``: row n gets
+    ``meanfunctions[int(X[n, -1])](X[n, :-1])``.
+
+    TPU note: instead of the reference's dynamic_partition/stitch, every
+    branch mean is evaluated on the full sliced batch and combined with a
+    one-hot mask — static shapes, vmap/grad-safe.
+    """
+
+    def __init__(self, meanfunction_list):
+        for m in meanfunction_list:
+            if not isinstance(m, MeanFunction):
+                raise TypeError("expected MeanFunction instances")
+        self.meanfunctions = list(meanfunction_list)
+
+    def __call__(self, X):
+        idx = X[:, -1].astype(jnp.int32)  # (N,)
+        Xd = X[:, :-1]
+        outs = [m(Xd) for m in self.meanfunctions]  # each (N, P)
+        stacked = jnp.stack(outs, axis=0)  # (G, N, P)
+        onehot = jax.nn.one_hot(idx, len(self.meanfunctions),
+                                dtype=X.dtype)  # (N, G)
+        return jnp.einsum("gnp,ng->np", stacked, onehot)

@@ -281,3 +281,25 @@ def test_vgp_opper_archambeau_classification():
     p, _ = m2.predict_y(X)
     acc = float(np.mean((np.asarray(p) > 0.5) == (Y > 0.5)))
     assert acc > 0.85
+
+
+def test_switched_mean_function():
+    """SwitchedMeanFunction: last column of X selects the per-group mean."""
+    import jax.numpy as jnp
+
+    from gpflow_slim_tpu.mean_functions import (Constant, Linear,
+                                                SwitchedMeanFunction)
+
+    rng2 = np.random.RandomState(3)
+    Xd = rng2.randn(9, 2)
+    groups = np.array([0, 1, 0, 1, 1, 0, 1, 0, 0])
+    X = np.concatenate([Xd, groups[:, None].astype(float)], axis=1)
+    m0 = Constant(2.5)
+    m1 = Linear(A=np.array([[1.0], [-1.0]]), b=np.array([0.5]))
+    sw = SwitchedMeanFunction([m0, m1])
+    out = np.asarray(sw(jnp.asarray(X)))
+    exp0 = np.asarray(m0(jnp.asarray(Xd)))
+    exp1 = np.asarray(m1(jnp.asarray(Xd)))
+    for n in range(9):
+        expected = exp0[n] if groups[n] == 0 else exp1[n]
+        np.testing.assert_allclose(out[n], expected, atol=1e-12)
