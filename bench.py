@@ -148,4 +148,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the remote TPU tunnel intermittently drops compiles / restarts the
+    # worker; a transient failure at round end must not lose the metric
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
+    for attempt in range(attempts):
+        try:
+            main()
+            break
+        except Exception as e:  # pragma: no cover - env flake path
+            if attempt == attempts - 1:
+                raise
+            print(f"# attempt {attempt} failed ({type(e).__name__}); "
+                  "retrying in 30s", file=sys.stderr)
+            time.sleep(30)
