@@ -81,19 +81,42 @@ def bench_nuts(N=1000, chains=8, samples=128, warmup=128):
     lp, x0, _ = gfs.mcmc.model_logprob(m)
     x0s = jnp.tile(x0, (chains, 1))
 
-    run = jax.jit(jax.vmap(
-        lambda x, k: gfs.mcmc.nuts(lp, x, k, samples, num_warmup=warmup,
+    # window-chunked: one warmup program, then sampling in short windows
+    # (each its own device program) — a single monolithic
+    # warmup+samples program at N=1000 × 8 chains exceeds the remote
+    # worker's long-program watchdog and kills the worker
+    window = 32
+
+    warm = jax.jit(jax.vmap(
+        lambda x, k: gfs.mcmc.nuts(lp, x, k, 1, num_warmup=warmup,
                                    max_depth=8, adapt_axis="c"),
         axis_name="c",
     ))
+    sample_w = jax.jit(jax.vmap(
+        lambda x, k, eps, im: gfs.mcmc.nuts(
+            lp, x, k, window, num_warmup=0, step_size=eps, inv_mass=im,
+            max_depth=8),
+    ))
+
     keys0 = jax.random.split(jax.random.PRNGKey(0), chains)
-    s, info = run(x0s, keys0)         # compile + warm
-    float(jnp.sum(s))
-    keys1 = jax.random.split(jax.random.PRNGKey(1), chains)
+    s0, info0 = warm(x0s, keys0)
+    z = s0[:, -1, :]
+    eps, im = info0["step_size"], info0["inv_mass"]
+    # compile the sampling window
+    sw, _ = sample_w(z, jax.random.split(jax.random.PRNGKey(9), chains),
+                     eps, im)
+    float(jnp.sum(sw))
+
+    n_windows = max(1, samples // window)
+    chunks = []
     t0 = time.perf_counter()
-    s, info = run(x0s, keys1)
-    float(jnp.sum(s))
+    for w in range(n_windows):
+        keys = jax.random.split(jax.random.PRNGKey(100 + w), chains)
+        sw, _ = sample_w(z, keys, eps, im)
+        z = sw[:, -1, :]
+        chunks.append(np.asarray(sw))
     dt = time.perf_counter() - t0
+    s = np.concatenate(chunks, axis=1)  # (chains, samples, dim)
     ess = gfs.mcmc.effective_sample_size(np.asarray(s))
     print(json.dumps({
         "metric": f"nuts_ess_per_sec_gpr_n{N}_c{chains}",

@@ -288,12 +288,18 @@ def nuts(
     target_accept: float = 0.8,
     adapt_mass: bool = True,
     adapt_axis: str | None = None,
+    inv_mass=None,
 ):
     """Run one NUTS chain (vmap/shard_map over chains for many).
 
     ``adapt_axis``: a mapped axis name; when set, warmup adaptation
     statistics (accept prob, Welford moments) are averaged across the axis
     with ``lax.pmean`` — the BASELINE "shared step-size adaptation" knob.
+
+    ``inv_mass``: optional (dim,) diagonal inverse-mass (posterior
+    variance scale) to start from — with ``num_warmup=0`` this resumes
+    sampling from a checkpointed ``(x0, step_size, inv_mass)`` state, or
+    runs window-chunked sampling (each window a short device program).
 
     Returns ``(samples, info)`` with info = dict(logp, accept_prob,
     diverging, step_size, inv_mass, depth).
@@ -313,7 +319,8 @@ def nuts(
     # ---- warmup: dual averaging + Welford mass ---------------------------
     da0 = da_init(jnp.asarray(step_size, dtype))
     w0 = welford_init(dim, dtype)
-    inv_mass0 = jnp.ones((dim,), dtype)
+    inv_mass0 = (jnp.ones((dim,), dtype) if inv_mass is None
+                 else jnp.asarray(inv_mass, dtype))
 
     def warmup_step(carry, k):
         z, lp, grad, da, w, inv_mass = carry
