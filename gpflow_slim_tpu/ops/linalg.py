@@ -31,11 +31,16 @@ def _pallas_active() -> bool:
 def cholesky(K):
     """Lower Cholesky factor of an SPD matrix."""
     if _pallas_active():
+        import os
+
         from . import pallas_cholesky
 
-        # measured v5e crossover: bs=512 wins ≥~6k (DMA-bound SYRK likes
-        # the higher arithmetic intensity), bs=256 below (less padding)
-        bs = 512 if K.shape[0] >= 6144 else 256
+        # bs=512 wins ≥~6k on v5e (DMA-bound SYRK likes the arithmetic
+        # intensity: 8.4 ms vs XLA 11.4 at N=8192) but sits at the edge of
+        # the 16 MiB scoped-VMEM budget and this environment's remote
+        # compiler intermittently rejects it — default to the always-safe
+        # 256 and let users opt in via GFS_PALLAS_CHOL_BS=512
+        bs = int(os.environ.get("GFS_PALLAS_CHOL_BS", 256))
         return pallas_cholesky.cholesky(K, bs)
     return _xla_cholesky(K, lower=True)
 

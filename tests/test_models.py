@@ -303,3 +303,35 @@ def test_switched_mean_function():
     for n in range(9):
         expected = exp0[n] if groups[n] == 0 else exp1[n]
         np.testing.assert_allclose(out[n], expected, atol=1e-12)
+
+
+def test_vgp_switched_likelihood_and_mean_gradients_flow():
+    """Grouped-data wiring (index in X's AND Y's last column) must deliver
+    nonzero gradients to every per-group parameter."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpflow_slim_tpu.likelihoods import Gaussian, SwitchedLikelihood
+    from gpflow_slim_tpu.mean_functions import (Constant,
+                                                SwitchedMeanFunction)
+
+    rng2 = np.random.RandomState(0)
+    N = 30
+    x = rng2.uniform(0, 1, (N, 1))
+    group = (rng2.rand(N) < 0.5).astype(float)
+    y = (np.sin(8 * x[:, 0]) + 1.5 * group + 0.1 * rng2.randn(N))[:, None]
+    X = np.concatenate([x, group[:, None]], axis=1)
+    Y = np.concatenate([y, group[:, None]], axis=1)
+
+    lik = SwitchedLikelihood([Gaussian(name="g0"), Gaussian(name="g1")])
+    mean = SwitchedMeanFunction([Constant(0.0, name="m0"),
+                                 Constant(0.0, name="m1")])
+    kern = gfs.kernels.RBF(1, active_dims=[0], lengthscales=0.2)
+    m = gfs.models.VGP(X, Y, kern=kern, likelihood=lik, mean_function=mean,
+                       num_latent=1)
+    g = jax.grad(lambda mm: mm.objective())(m)
+    for i in (0, 1):
+        assert float(jnp.abs(
+            g.likelihood.likelihood_list[i].variance.unconstrained)) > 0
+        assert float(jnp.abs(
+            jnp.sum(g.mean_function.meanfunctions[i].c.unconstrained))) > 0
