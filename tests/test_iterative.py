@@ -139,3 +139,36 @@ def test_pivoted_cholesky_never_repicks_pivot():
     assert resid < 1e-6
     extra_norm = np.abs(np.asarray(L[:, 3:])).max()
     assert extra_norm < 1e-3
+
+
+def test_streaming_mode_matches_materialized():
+    """materialize_k=False must give the same objective and gradients
+    (same CG/SLQ seeds; only the matvec implementation differs)."""
+    import jax
+
+    from gpflow_slim_tpu.models import GPRCG
+
+    rng2 = np.random.RandomState(0)
+    N = 150
+    X = rng2.uniform(0, 1, (N, 1))
+    Y = np.sin(6 * X) + 0.1 * rng2.randn(N, 1)
+
+    def make(mat):
+        return GPRCG(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.3),
+                     cg_iters=60, materialize_k=mat)
+
+    m_mat, m_str = make(True), make(False)
+    v1, g1 = jax.value_and_grad(lambda m: m.objective())(m_mat)
+    v2, g2 = jax.value_and_grad(lambda m: m.objective())(m_str)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    l1 = jax.tree_util.tree_leaves(g1)
+    l2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+    # predictions agree too
+    Xs = rng2.uniform(0, 1, (7, 1))
+    mu1, v1p = m_mat.predict_f(Xs)
+    mu2, v2p = m_str.predict_f(Xs)
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v1p), np.asarray(v2p), atol=1e-6)
