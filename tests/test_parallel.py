@@ -310,3 +310,38 @@ def test_distributed_gpr_with_mean_function(mesh):
     g = jax.jit(jax.grad(loss_fn))(m)
     gc = float(np.squeeze(np.asarray(g.mean_function.c.unconstrained)))
     assert np.isfinite(gc) and abs(gc) > 1e-3
+
+
+def test_distributed_cg_loss_matches_single_device_gprcg():
+    """Ring-matvec CG/SLQ loss over an 8-device mesh == GPRCG on one
+    device (same probe seeds; only the matvec parallelization differs),
+    values AND hyperparameter gradients."""
+    import jax
+
+    from gpflow_slim_tpu.models import GPRCG
+    from gpflow_slim_tpu import parallel
+
+    rng2 = np.random.RandomState(0)
+    N = 128
+    X = rng2.uniform(0, 1, (N, 1))
+    Y = np.sin(6 * X) + 0.1 * rng2.randn(N, 1)
+
+    kern = gfs.kernels.RBF(1, lengthscales=0.3)
+    m_ref = GPRCG(X, Y, kern=kern, cg_iters=60, num_probes=8,
+                  slq_steps=20)
+    v_ref, g_ref = jax.value_and_grad(lambda m: m.objective())(m_ref)
+
+    mesh = parallel.make_mesh({"rows": 8})
+    kern2 = gfs.kernels.RBF(1, lengthscales=0.3)
+    m2 = GPRCG(X, Y, kern=kern2, cg_iters=60, num_probes=8, slq_steps=20)
+    loss_fn = parallel.make_distributed_cg_loss(
+        m2, mesh, axis="rows", num_probes=8, cg_iters=60, slq_steps=20)
+    v_d, g_d = jax.jit(jax.value_and_grad(loss_fn))(m2)
+
+    np.testing.assert_allclose(float(v_d), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g_d.kern.lengthscales.unconstrained),
+        np.asarray(g_ref.kern.lengthscales.unconstrained), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_d.likelihood.variance.unconstrained),
+        np.asarray(g_ref.likelihood.variance.unconstrained), rtol=1e-5)
