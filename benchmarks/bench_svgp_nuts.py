@@ -57,6 +57,36 @@ def bench_svgp(N=100_000, M=256, B=1024, steps=20):
     }))
 
 
+def bench_svgp_natgrad(N=100_000, M=256, B=1024, steps=20):
+    """BASELINE config #3's stated optimizer: natgrad(q) + Adam(hypers)."""
+    import jax
+
+    import gpflow_slim_tpu as gfs
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0, 1, (N, 1)).astype(np.float32)
+    Y = (np.sin(10 * X) > 0).astype(np.float32)
+    Z = np.linspace(0, 1, M, dtype=np.float32)[:, None]
+    m = gfs.models.SVGP(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.2),
+                        likelihood=gfs.likelihoods.Bernoulli(), Z=Z)
+
+    import time as _t
+
+    # compile+warm with one key, time with another (memoization defense)
+    m1, losses = gfs.training.fit_svgp_natgrad(
+        m, steps, jax.random.PRNGKey(0), gamma=0.1, batch_size=B)
+    float(losses[-1])
+    t0 = _t.perf_counter()
+    _, losses = gfs.training.fit_svgp_natgrad(
+        m, steps, jax.random.PRNGKey(1), gamma=0.1, batch_size=B)
+    float(losses[-1])
+    dt = _t.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"svgp_natgrad_iters_per_sec_N{N}_M{M}_B{B}",
+        "value": round(steps / dt, 2), "unit": "iters/s",
+    }))
+
+
 def bench_nuts(N=1000, chains=8, samples=128, warmup=128):
     import jax
     import jax.numpy as jnp
@@ -129,8 +159,11 @@ def bench_nuts(N=1000, chains=8, samples=128, warmup=128):
 
 
 if __name__ == "__main__":
-    which = os.environ.get("BENCH_WHICH", "both")
-    if which in ("svgp", "both"):
+    which = os.environ.get("BENCH_WHICH", "all")
+    if which in ("svgp", "both", "all"):
         bench_svgp()
-    if which in ("nuts", "both"):
+    if which in ("natgrad", "all"):
+        bench_svgp_natgrad(steps=int(os.environ.get("BENCH_NATGRAD_STEPS",
+                                                    200)))
+    if which in ("nuts", "both", "all"):
         bench_nuts()
