@@ -18,6 +18,7 @@ the hyperparameters (``fit_svgp_natgrad``).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable
 
 import jax
@@ -188,11 +189,9 @@ def fit_svgp_natgrad(
 
     Whole loop jitted via lax.scan; per step: sample minibatch → natural-
     gradient step on (q_mu, q_sqrt) → Adam step on everything else.
-    Returns (model, losses).
+    Returns (model, losses). Repeated calls with the same model structure
+    reuse the compiled executable (runner cache keyed on treedef/masks).
     """
-    if optimizer is None:
-        optimizer = optax.adam(learning_rate)
-
     N = model.num_data
     B = batch_size or N
 
@@ -206,10 +205,26 @@ def fit_svgp_natgrad(
     for i, leaf in enumerate(outer):
         if leaf is model.q_mu or leaf is model.q_sqrt:
             q_leaf_ids.add(i)
-    hyper_mask = [
+    hyper_mask = tuple(
         (t and i not in q_leaf_ids) for i, t in enumerate(mask_trainable)
-    ]
-    opt_state = optimizer.init(leaves0)
+    )
+
+    opt, run = _natgrad_runner(treedef, hyper_mask, num_steps, int(N),
+                               int(B), float(gamma), float(learning_rate),
+                               optimizer)
+    opt_state = opt.init(leaves0)
+    leaves, losses = run(leaves0, opt_state, key)
+    return jax.tree_util.tree_unflatten(treedef, leaves), losses
+
+
+@lru_cache(maxsize=32)
+def _natgrad_runner(treedef, hyper_mask, num_steps, N, B, gamma,
+                    learning_rate, optimizer):
+    """Compiled-runner cache for ``fit_svgp_natgrad`` (same rationale as
+    ``optimize._fit_runner``: a fresh jit closure per call would recompile
+    the whole scan every fit)."""
+    if optimizer is None:
+        optimizer = optax.adam(learning_rate)
 
     def batch_loss(mm, Xb, Yb):
         return -(mm.build_likelihood_batch(Xb, Yb) + mm.log_prior())
@@ -248,5 +263,4 @@ def fit_svgp_natgrad(
         )
         return leaves, losses
 
-    leaves, losses = run(leaves0, opt_state, key)
-    return jax.tree_util.tree_unflatten(treedef, leaves), losses
+    return optimizer, run

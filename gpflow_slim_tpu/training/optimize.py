@@ -15,6 +15,7 @@ the reference's feed_dict bottleneck is gone by construction).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Callable
 
 import jax
@@ -28,27 +29,18 @@ def _masked_update(updates_leaves, mask):
     return [u * m for u, m in zip(updates_leaves, mask)]
 
 
-def fit(
-    model,
-    num_steps: int = 1000,
-    learning_rate: float = 0.01,
-    optimizer: optax.GradientTransformation | None = None,
-    loss_fn: Callable | None = None,
-    unroll: int = 1,
-):
-    """Minimize ``loss_fn(model)`` (default ``model.objective()``).
-
-    Returns ``(fitted_model, losses)`` with ``losses`` of shape (num_steps,).
-    The full loop runs on-device under one jit via ``lax.scan``.
-    """
+@lru_cache(maxsize=64)
+def _fit_runner(treedef, mask, num_steps, unroll, learning_rate,
+                optimizer, loss_fn):
+    """Compiled-runner cache: repeated ``fit`` calls with the same model
+    STRUCTURE (treedef/mask — data and parameter values are runtime args)
+    reuse one jitted executable instead of re-tracing and re-compiling a
+    fresh closure each call. Keys are hashable: treedefs, bool tuples,
+    numbers, and (for custom optimizer/loss_fn) object identity."""
     if optimizer is None:
         optimizer = optax.adam(learning_rate)
     if loss_fn is None:
         loss_fn = lambda m: m.objective()
-
-    mask = trainable_leaf_mask(model)
-    leaves0, treedef = jax.tree_util.tree_flatten(model)
-    opt_state = optimizer.init(leaves0)
 
     def step(carry, _):
         leaves, opt_state = carry
@@ -68,6 +60,28 @@ def fit(
         )
         return leaves, opt_state, losses
 
+    return optimizer, run
+
+
+def fit(
+    model,
+    num_steps: int = 1000,
+    learning_rate: float = 0.01,
+    optimizer: optax.GradientTransformation | None = None,
+    loss_fn: Callable | None = None,
+    unroll: int = 1,
+):
+    """Minimize ``loss_fn(model)`` (default ``model.objective()``).
+
+    Returns ``(fitted_model, losses)`` with ``losses`` of shape (num_steps,).
+    The full loop runs on-device under one jit via ``lax.scan``; repeated
+    calls with the same model structure reuse the compiled executable.
+    """
+    mask = tuple(trainable_leaf_mask(model))
+    leaves0, treedef = jax.tree_util.tree_flatten(model)
+    opt, run = _fit_runner(treedef, mask, num_steps, unroll,
+                           learning_rate, optimizer, loss_fn)
+    opt_state = opt.init(leaves0)
     leaves, opt_state, losses = run(leaves0, opt_state)
     return jax.tree_util.tree_unflatten(treedef, leaves), losses
 
