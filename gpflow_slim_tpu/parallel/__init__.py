@@ -3,6 +3,7 @@ from .mesh import (Mesh, NamedSharding, P, initialize_distributed,
 from .chains import sample_chains
 from .cyclic_cholesky import cyclic_cholesky
 from .dist_cg import make_distributed_cg_loss
+from .grid_cholesky import grid_cholesky
 from .dp import dp_value_and_grad, fit_svgp, make_svgp_step
 from .ring_gram import ring_gram, ring_gram_matvec
 from .dist_linalg import (
@@ -15,7 +16,7 @@ from .dist_linalg import (
 __all__ = [
     "Mesh", "NamedSharding", "P", "make_mesh", "replicated", "shard_rows",
     "sample_chains", "cyclic_cholesky", "dp_value_and_grad", "fit_svgp", "make_svgp_step",
-    "ring_gram", "ring_gram_matvec", "distributed_cholesky",
+    "ring_gram", "ring_gram_matvec", "distributed_cholesky", "grid_cholesky",
     "distributed_gpr_mll", "distributed_solve_lower",
     "make_distributed_gpr_loss", "make_distributed_cg_loss",
 ]

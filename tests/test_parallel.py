@@ -345,3 +345,18 @@ def test_distributed_cg_loss_matches_single_device_gprcg():
     np.testing.assert_allclose(
         np.asarray(g_d.likelihood.variance.unconstrained),
         np.asarray(g_ref.likelihood.variance.unconstrained), rtol=1e-5)
+
+
+def test_grid_cholesky_2d_mesh_matches_dense():
+    """2-D (rows x cols) block-cyclic Cholesky == jnp.linalg.cholesky."""
+    from gpflow_slim_tpu import parallel
+
+    rng2 = np.random.RandomState(1)
+    for (Pr, Pc), N, bs in [((4, 2), 64, 8), ((2, 4), 128, 8)]:
+        mesh = parallel.make_mesh({"rows": Pr, "cols": Pc})
+        A = rng2.randn(N, N)
+        K = A @ A.T + N * np.eye(N)
+        L = parallel.grid_cholesky(jnp.asarray(K), mesh, ("rows", "cols"),
+                                   block_size=bs)
+        np.testing.assert_allclose(np.asarray(L), np.linalg.cholesky(K),
+                                   atol=1e-10)
