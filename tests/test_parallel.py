@@ -360,3 +360,28 @@ def test_grid_cholesky_2d_mesh_matches_dense():
                                    block_size=bs)
         np.testing.assert_allclose(np.asarray(L), np.linalg.cholesky(K),
                                    atol=1e-10)
+
+
+def test_2d_pipeline_gram_sharded_into_grid_cholesky():
+    """The 2-D TP pipeline: Gram computed under GSPMD with a (rows, cols)
+    output sharding (XLA partitions the distance matmul + map onto the
+    grid), then factored by grid_cholesky."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gpflow_slim_tpu import parallel
+
+    mesh = parallel.make_mesh({"rows": 4, "cols": 2})
+    rng2 = np.random.RandomState(2)
+    N = 64
+    X = jnp.asarray(rng2.uniform(0, 1, (N, 2)))
+    kern = gfs.kernels.RBF(2, lengthscales=0.4)
+
+    gram = jax.jit(
+        lambda x: kern.K(x) + 0.5 * jnp.eye(N, dtype=x.dtype),
+        out_shardings=NamedSharding(mesh, P("rows", "cols")),
+    )
+    K = gram(X)
+    assert K.sharding.spec == P("rows", "cols")
+    L = parallel.grid_cholesky(K, mesh, ("rows", "cols"), block_size=8)
+    np.testing.assert_allclose(
+        np.asarray(L), np.linalg.cholesky(np.asarray(K)), atol=1e-10)
