@@ -169,8 +169,18 @@ def _rbf_psi_stats(kern, Z, Xmu, Xvar):
 
 def _default_psi_gh_points(D: int) -> int:
     """Per-dimension Gauss–Hermite order for the tensor-product grid,
-    capped so the total node count H^D stays ≲ 4000."""
-    return min(20, max(3, int(4000.0 ** (1.0 / D))))
+    capped so the total node count H^D stays ≤ ~4000. For D where even
+    H=2 blows the cap (D ≥ 12) there is no sensible tensor grid — raise
+    instead of silently allocating 2^D·(M, M) intermediates."""
+    H = min(20, int(4000.0 ** (1.0 / D)))
+    if H < 2:
+        raise NotImplementedError(
+            f"tensor-product Gauss-Hermite quadrature is intractable for "
+            f"input dimension {D}; pass num_gauss_hermite_points "
+            f"explicitly (total cost H**D) or use an RBF kernel "
+            f"(closed-form psi-statistics)"
+        )
+    return H
 
 
 def _quadrature_psi_stats(kern, Z, Xmu, Xvar, H: int):

@@ -11,9 +11,11 @@ The GPyTorch BBMM recipe (PAPERS.md: Gardner et al. 2018; preconditioning
             only quadratic forms (stop-gradded solves), exactly the BBMM
             trick. O(N²·iters) instead of O(N³), every flop a GEMM.
 
-The logdet (and hence the loss value) is stochastic but its *gradient*
-estimator is unbiased — optimization quality matches Cholesky-GPR in
-expectation. Predictions use CG solves against the training system.
+The logdet (and hence the loss value) is stochastic; probe keys are
+derived from the hyperparameter bits (``ops.iterative.probe_keys``) so the
+probes redraw at every optimizer step — estimator error averages out over
+the trajectory instead of freezing into a fixed bias. Predictions use CG
+solves against the training system.
 """
 
 from __future__ import annotations
@@ -25,8 +27,8 @@ import jax.numpy as jnp
 
 from .. import config
 from ..likelihoods import Gaussian
-from ..ops.iterative import batched_cg, pivoted_cholesky, slq_logdet, \
-    woodbury_solve_fn
+from ..ops.iterative import batched_cg, pivoted_cholesky, probe_keys, \
+    slq_logdet, woodbury_solve_fn
 from .model import GPModel
 
 
@@ -99,14 +101,16 @@ def _cg_mll_fwd(kern, noise, X, err, num_probes, cg_iters, slq_steps,
 
     alpha, _ = batched_cg(mv, err, max_iters=cg_iters, precond=pre)
 
-    # SLQ logdet with a fixed key — deterministic across fwd/bwd pairs
-    key = jax.random.PRNGKey(0)
-    logdet = slq_logdet(mv, N, key, num_probes=num_probes,
+    # probes redrawn whenever the hyperparameters move (ops.iterative.
+    # probe_keys): per-step fresh randomness in a training loop, identical
+    # probes within one value/grad evaluation
+    key_logdet, key_trace = probe_keys(kern, noise)
+    logdet = slq_logdet(mv, N, key_logdet, num_probes=num_probes,
                         num_steps=slq_steps, dtype=err.dtype)
 
     # probe solves for the backward trace estimator
     Z = jax.random.rademacher(
-        jax.random.PRNGKey(1), (N, num_probes), dtype=err.dtype
+        key_trace, (N, num_probes), dtype=err.dtype
     )
     U, _ = batched_cg(mv, Z, max_iters=cg_iters, precond=pre)
 

@@ -157,3 +157,30 @@ def woodbury_solve_fn(L, sigma2):
         return v / sigma2 - (L @ inner) / (sigma2 * sigma2)
 
     return solve
+
+
+def probe_keys(*params):
+    """PRNG keys for stochastic-trace probes, derived from the bit pattern
+    of the current (hyper)parameters.
+
+    A FIXED probe key freezes the SLQ/Hutchinson estimator error into one
+    systematic bias for a whole optimization (the estimator is only
+    unbiased across redraws). Deriving the key from the parameter bits
+    redraws probes at every optimizer step (parameters moved ⇒ new key)
+    while keeping each evaluation self-consistent (value/grad and fwd/bwd
+    see identical probes) and deterministic given the parameters.
+
+    Returns ``(key_logdet, key_trace)``.
+    """
+    acc = jnp.zeros((), jnp.uint32)
+    for p in params:
+        for leaf in jax.tree_util.tree_leaves(p):
+            bits = jax.lax.bitcast_convert_type(
+                jax.lax.stop_gradient(
+                    jnp.ravel(jnp.asarray(leaf)).astype(jnp.float32)
+                ),
+                jnp.uint32,
+            )
+            acc = acc ^ jnp.sum(bits, dtype=jnp.uint32)
+    base = jax.random.fold_in(jax.random.PRNGKey(0), acc)
+    return jax.random.fold_in(base, 0), jax.random.fold_in(base, 1)

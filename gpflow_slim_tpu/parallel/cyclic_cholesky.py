@@ -21,6 +21,8 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+_HP = jax.lax.Precision.HIGHEST  # trailing updates are cancellation-critical
 import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
@@ -85,7 +87,8 @@ def cyclic_cholesky(K, mesh: Mesh, axis: str, block_size: int = 128):
             Ld = _small_chol(diag)
             Zd = _small_inv(Ld)
             below = rows_idx >= (k + 1) * bs
-            W = jnp.where(below, panel, 0.0) @ Zd.T  # (N, bs) sub-diag part
+            W = jnp.matmul(jnp.where(below, panel, 0.0), Zd.T,
+                           precision=_HP)  # (N, bs) sub-diag part
             Ld_full = jax.lax.dynamic_update_slice(
                 jnp.zeros((N, bs), K.dtype), Ld, (i32(k * bs), i32(0))
             )
@@ -111,7 +114,7 @@ def cyclic_cholesky(K, mesh: Mesh, axis: str, block_size: int = 128):
                 Pj = jax.lax.dynamic_slice(
                     Wb, (i32(j * bs), i32(0)), (bs, bs)
                 )  # rows of the panel aligned with column block j
-                delta = Wb @ Pj.T  # (N, bs)
+                delta = jnp.matmul(Wb, Pj.T, precision=_HP)  # (N, bs)
                 cur = jax.lax.dynamic_index_in_dim(Bl, m, 0, keepdims=False)
                 new = jnp.where(j > k, cur - delta, cur)
                 return jax.lax.dynamic_update_index_in_dim(Bl, new, m, 0)

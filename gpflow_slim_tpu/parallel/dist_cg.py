@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.iterative import batched_cg, slq_logdet
+from ..ops.iterative import batched_cg, probe_keys, slq_logdet
 from .mesh import NamedSharding, P
 from .ring_gram import ring_gram_matvec
 
@@ -50,11 +50,15 @@ def make_distributed_cg_loss(model, mesh, axis: str = "rows",
         num_out = err.shape[1]
         mv = lambda v: matvec(kern, noise, v)
         alpha, _ = batched_cg(mv, err, max_iters=cg_iters)
-        logdet = slq_logdet(mv, N, jax.random.PRNGKey(0),
+        # parameter-bit-derived keys (ops.iterative.probe_keys): probes are
+        # redrawn whenever the hyperparameters move, so the estimator error
+        # averages out over training steps instead of freezing into a bias
+        key_logdet, key_trace = probe_keys(kern, noise)
+        logdet = slq_logdet(mv, N, key_logdet,
                             num_probes=num_probes, num_steps=slq_steps,
                             dtype=err.dtype)
         Z = jax.device_put(
-            jax.random.rademacher(jax.random.PRNGKey(1), (N, num_probes),
+            jax.random.rademacher(key_trace, (N, num_probes),
                                   dtype=err.dtype),
             sharding,
         )

@@ -42,6 +42,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 __all__ = ["grid_cholesky"]
 
+_HP = jax.lax.Precision.HIGHEST  # TRSM/SYRK subtract nearly-equal terms
+               # (PERFORMANCE.md precision policy); bf16 default passes can
+               # push small pivots negative on TPU f32
+
 
 def _cyclic_order(nb, p):
     return np.concatenate([np.arange(d, nb, p) for d in range(p)])
@@ -78,13 +82,8 @@ def grid_cholesky(K, mesh: Mesh, axes=("rows", "cols"),
         # Ka: (R_loc·bs, C_loc·bs) — my block-cyclic tile
         r = jax.lax.axis_index(r_ax)
         c = jax.lax.axis_index(c_ax)
-        # global block-row index of my local row slot s: r + Pr·s? No —
-        # host permutation laid rows out device-major: device r owns
-        # global block rows {r, r+Pr, ...} stored contiguously as slots
-        # 0..R_loc-1, i.e. slot s ↔ global block row r + Pr·s ... with
-        # _cyclic_order the layout is [d=0: 0,Pr,2Pr…][d=1: 1,1+Pr,…]:
-        # after sharding, device r's slot s holds global block row
-        # r + Pr·s. Same for columns.
+        # host permutation laid blocks out device-major, so device r's
+        # local row slot s holds global block row r + Pr·s (same for cols)
         my_rows = r + Pr * jnp.arange(R_loc)          # (R_loc,) global blk
         row_ids = jnp.repeat(my_rows, bs)             # (R_loc·bs,)
 
@@ -116,7 +115,7 @@ def grid_cholesky(K, mesh: Mesh, axes=("rows", "cols"),
             # 3) panel TRSM on my rows: i>k → A_ik·L_kkᵀ⁻¹; i==k → L_kk;
             #    i<k → already-final values stay
             below = (row_ids > k)[:, None]
-            trsm = colblk @ Zinv.T
+            trsm = jnp.matmul(colblk, Zinv.T, precision=_HP)
             Lkk_rows = onehot @ Lkk  # scatter L_kk into my diag rows
             newcol = jnp.where(below, trsm,
                                jnp.where(is_diag_row, Lkk_rows, colblk))
@@ -137,7 +136,7 @@ def grid_cholesky(K, mesh: Mesh, axes=("rows", "cols"),
             idx = jnp.mod(my_cols, Pr) * R_loc + my_cols // Pr
             Lc = jnp.take(table, idx, axis=0)  # (C_loc, bs, bs) = L_jk
             Lc_flat = Lc.reshape(C_loc * bs, bs)
-            return Ka - Lmask @ Lc_flat.T
+            return Ka - jnp.matmul(Lmask, Lc_flat.T, precision=_HP)
 
         Ka = jax.lax.fori_loop(0, nb, step, Ka)
         return Ka

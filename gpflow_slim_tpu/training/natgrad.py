@@ -225,6 +225,8 @@ def _natgrad_runner(treedef, hyper_mask, num_steps, N, B, gamma,
     the whole scan every fit)."""
     if optimizer is None:
         optimizer = optax.adam(learning_rate)
+    # state only for the hyperparameter leaves (see optimize._fit_runner)
+    optimizer = optax.masked(optimizer, list(hyper_mask))
 
     def batch_loss(mm, Xb, Yb):
         return -(mm.build_likelihood_batch(Xb, Yb) + mm.log_prior())

@@ -41,6 +41,10 @@ def _fit_runner(treedef, mask, num_steps, unroll, learning_rate,
         optimizer = optax.adam(learning_rate)
     if loss_fn is None:
         loss_fn = lambda m: m.objective()
+    # optax.masked: optimizer state (Adam moments etc.) is only allocated
+    # for TRAINABLE leaves — without it, two data-sized moment buffers per
+    # data array (X, Y) sit in HBM for the whole scan
+    optimizer = optax.masked(optimizer, list(mask))
 
     def step(carry, _):
         leaves, opt_state = carry
