@@ -85,6 +85,8 @@ def make_svgp_step(model, optimizer, mesh: Mesh | None = None,
     ``step_fn(leaves, opt_state, key) -> (leaves, opt_state, loss)``.
     """
     mask = trainable_leaf_mask(model)
+    # state only for trainable leaves (no Adam moments over X/Y data)
+    optimizer = optax.masked(optimizer, list(mask))
     leaves0, treedef = jax.tree_util.tree_flatten(model)
     opt_state = optimizer.init(leaves0)
     N = model.num_data

@@ -100,6 +100,7 @@ def make_step_fn(model, optimizer: optax.GradientTransformation,
     if loss_fn is None:
         loss_fn = lambda m: m.objective()
     mask = trainable_leaf_mask(model)
+    optimizer = optax.masked(optimizer, list(mask))
     leaves0, treedef = jax.tree_util.tree_flatten(model)
     opt_state = optimizer.init(leaves0)
 
