@@ -199,3 +199,44 @@ def test_hmc_and_nuts_agree_on_gpr_hyperposterior():
                      + b[:, d].var() / max(ess_b[d], 4))
         assert abs(a[:, d].mean() - b[:, d].mean()) < 4 * se + 0.05, (
             d, a[:, d].mean(), b[:, d].mean(), se)
+
+
+def test_nuts_checkpoint_resume_bit_identical(tmp_path):
+    """The documented MCMC recovery story: persist (position, step_size,
+    inv_mass) with utils.checkpoint, reload, and continue sampling —
+    bit-identical to continuing without the save/load round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpflow_slim_tpu.utils import load_checkpoint, save_checkpoint
+
+    rng2 = np.random.RandomState(0)
+    X = rng2.uniform(0, 1, (40, 1))
+    Y = np.sin(6 * X) + 0.1 * rng2.randn(40, 1)
+    m = gfs.models.GPR(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.3))
+    lp, x0, _ = gfs.mcmc.model_logprob(m)
+
+    # warmup once
+    s0, info0 = gfs.mcmc.nuts(lp, x0, jax.random.PRNGKey(0), 4,
+                              num_warmup=32, max_depth=6)
+    state = {
+        "z": s0[-1],
+        "step_size": info0["step_size"],
+        "inv_mass": info0["inv_mass"],
+    }
+
+    # save + reload through the checkpoint layer
+    path = save_checkpoint(str(tmp_path / "mcmc"), state, step=1)
+    restored = load_checkpoint(path, state)
+
+    def continue_sampling(st):
+        return gfs.mcmc.nuts(
+            lp, st["z"], jax.random.PRNGKey(7), 8, num_warmup=0,
+            step_size=st["step_size"], inv_mass=st["inv_mass"],
+            max_depth=6,
+        )[0]
+
+    a = np.asarray(continue_sampling(state))
+    b = np.asarray(continue_sampling(restored))
+    np.testing.assert_array_equal(a, b)
+    assert np.all(np.isfinite(a))
