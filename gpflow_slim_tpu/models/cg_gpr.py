@@ -55,6 +55,10 @@ def _make_streaming_matvec(kern, X, noise, block=_STREAM_BLOCK):
     elementwise kernel map, which the scan fuses into the panel while it
     is in registers/VMEM."""
     N = X.shape[0]
+    # small-N guard: padding up to the full 4096 stream block would make
+    # every matvec compute a (4096, N) panel — up to ~27× wasted flops at
+    # N a few hundred. Cap the block at N rounded up to the 128-lane tile.
+    block = min(block, -(-N // 128) * 128)
     Xp = _pad_rows(X, block)
     nb = Xp.shape[0] // block
     Xb = Xp.reshape(nb, block, X.shape[1])

@@ -170,17 +170,46 @@ def probe_keys(*params):
     while keeping each evaluation self-consistent (value/grad and fwd/bwd
     see identical probes) and deterministic given the parameters.
 
+    The hash must be (a) full-precision — under f64 defaults, late-training
+    optimizer steps move parameters by less than f32 resolution, and an
+    f32-downcast hash would silently reuse the same probes (re-freezing the
+    bias this function exists to remove) — and (b) order-sensitive, so
+    permutation-symmetric parameter states don't collide. So: hash the
+    native bit pattern (f64 leaves as two uint32 halves) and mix each leaf
+    at a position-dependent odd multiplier before folding in.
+
     Returns ``(key_logdet, key_trace)``.
     """
     acc = jnp.zeros((), jnp.uint32)
+    leaf_idx = 0
     for p in params:
         for leaf in jax.tree_util.tree_leaves(p):
-            bits = jax.lax.bitcast_convert_type(
-                jax.lax.stop_gradient(
-                    jnp.ravel(jnp.asarray(leaf)).astype(jnp.float32)
-                ),
-                jnp.uint32,
+            x = jax.lax.stop_gradient(jnp.ravel(jnp.asarray(leaf)))
+            if x.dtype == jnp.float64:
+                # u64 bitcast is unsupported under TPU's x64 rewrite, so
+                # split into an exact f32 head plus the f32-rounded residual
+                # (≈48 mantissa bits total — resolves steps far below f32
+                # resolution) and hash both halves
+                hi = x.astype(jnp.float32)
+                lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+                bits = jnp.concatenate([
+                    jax.lax.bitcast_convert_type(hi, jnp.uint32),
+                    jax.lax.bitcast_convert_type(lo, jnp.uint32),
+                ])
+            else:
+                bits = jax.lax.bitcast_convert_type(
+                    x.astype(jnp.float32), jnp.uint32
+                )
+            # position-dependent odd multiplier (mod 2³²) makes the mix
+            # order-sensitive across leaves AND across elements in a leaf
+            mult = (
+                jnp.arange(bits.shape[0], dtype=jnp.uint32)
+                * jnp.uint32(2654435761)  # Knuth multiplicative constant
+                + jnp.uint32(2 * leaf_idx + 1)
             )
-            acc = acc ^ jnp.sum(bits, dtype=jnp.uint32)
+            acc = acc * jnp.uint32(16777619) ^ jnp.sum(
+                bits * mult, dtype=jnp.uint32
+            )
+            leaf_idx += 1
     base = jax.random.fold_in(jax.random.PRNGKey(0), acc)
     return jax.random.fold_in(base, 0), jax.random.fold_in(base, 1)

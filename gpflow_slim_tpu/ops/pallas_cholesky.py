@@ -91,17 +91,30 @@ def _vmem_tri_inverse_newton(L):
     E_{t} = E₀^(2^t) = 0 once 2^t ≥ bs. So the O(bs)-step sequential
     substitution loop becomes ⌈log2 bs⌉ MXU GEMM pairs — the sequential
     scalar chain that dominated the kernel's critical path disappears.
+
+    Stability: the residual powers are exact only in exact arithmetic; in
+    f32 the intermediate E₀^(2^t) entries can transiently overflow when
+    |L_ij| ≫ L_jj (wildly unequal pivots). We therefore iterate on the
+    symmetrically scaled L' = D^{-1/2} L D^{-1/2} (unit diagonal, entries
+    L_ij/√(dᵢdⱼ)) and unscale afterwards: L⁻¹ = D^{-1/2} L'⁻¹ D^{-1/2}.
+    For tiles that arise as Cholesky factors of jittered SPD GP blocks the
+    scaled off-diagonals are O(1) and the iteration is overflow-free; the
+    sequential-substitution inverse remains in the source
+    (``_vmem_tri_inverse_small``) as the fallback for pathological inputs.
     """
     bs = L.shape[0]
     r2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
     c2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
     eye = (r2 == c2).astype(L.dtype)
     d = jnp.sum(L * eye, axis=1, keepdims=True)  # (bs, 1) diagonal
-    X = eye / d  # D⁻¹
+    s = jax.lax.rsqrt(d)  # D^{-1/2}, column vector
+    Ls = L * s * s.reshape(1, bs)  # D^{-1/2} L D^{-1/2}, unit diagonal
+    X = eye  # (D')⁻¹ = I for the scaled iterate
     two_eye = 2.0 * eye
     n_iter = max(1, int(np.ceil(np.log2(bs))))
     for _ in range(n_iter):
-        X = _mm(X, two_eye - _mm(L, X))
+        X = _mm(X, two_eye - _mm(Ls, X))
+    X = X * s * s.reshape(1, bs)  # unscale: D^{-1/2} X' D^{-1/2}
     return X * _tril_mask(bs, L.dtype)
 
 

@@ -30,8 +30,12 @@ def make_distributed_cg_loss(model, mesh, axis: str = "rows",
     """Differentiable ``loss_fn(model) -> -(mll + log_prior)`` for an
     exact-GP regression model, matrix-free over ``mesh[axis]``.
 
-    ``model.X``/``model.Y`` are placed row-sharded once at construction;
-    hyperparameters stay replicated. N must divide by the axis size.
+    ``model.X``/``model.Y`` are captured (row-sharded) at CONSTRUCTION
+    time; the ``model`` argument of the returned ``loss_fn`` contributes
+    only hyperparameters (kern / likelihood / mean_function). Calling
+    ``loss_fn`` with a model holding different data would silently score
+    the captured data — guarded by a shape assert below; rebuild the loss
+    for new data. N must divide by the axis size.
     """
     sharding = NamedSharding(mesh, P(axis))
     X = jax.device_put(model.X, sharding)
@@ -90,6 +94,14 @@ def make_distributed_cg_loss(model, mesh, axis: str = "rows",
     mll_fn.defvjp(mll_fwd, mll_bwd)
 
     def loss_fn(m):
+        if m.X.shape != X.shape or m.Y.shape != Y.shape:
+            raise ValueError(
+                "loss_fn was built against data of shape "
+                f"X{tuple(X.shape)}/Y{tuple(Y.shape)} but was called with a "
+                f"model holding X{tuple(m.X.shape)}/Y{tuple(m.Y.shape)}; "
+                "make_distributed_cg_loss captures the data at construction "
+                "— rebuild the loss for new data"
+            )
         noise = jnp.squeeze(m.likelihood.variance.value)
         err = Y - m.mean_function(X)
         return -(mll_fn(m.kern, noise, err) + m.log_prior())
