@@ -39,7 +39,10 @@ class Settings:
         likelihood expectations (reference default 20).
       dist_block_size: block size for distributed/blocked linear algebra.
       use_pallas: route hot linalg through Pallas kernels when True and the
-        backend is TPU; otherwise use stock XLA ops.
+        backend is TPU; otherwise use stock XLA ops. Default ON: the Pallas
+        gram/Cholesky kernels ARE the TPU performance path (SURVEY §2.1);
+        block sizes are compile-probed per shape with automatic fallback to
+        XLA (ops.linalg), so the flag is safe to leave on everywhere.
     """
 
     jitter: float = 1e-6
@@ -47,7 +50,7 @@ class Settings:
     positive_minimum: float = 1e-6
     num_gauss_hermite_points: int = 20
     dist_block_size: int = 256
-    use_pallas: bool = False
+    use_pallas: bool = True
 
 
 _settings = Settings()

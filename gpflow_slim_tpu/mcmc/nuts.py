@@ -38,6 +38,36 @@ from .base import (
 _MAX_DELTA_ENERGY = 1000.0
 
 
+def warmup_schedule(num_warmup: int, init_buffer: int = 75,
+                    term_buffer: int = 50, base_window: int = 25):
+    """Stan-style adaptation windows: ``[("fast", n), ("slow", n), ...]``.
+
+    An initial fast window adapts the step size only; then doubling slow
+    windows (25, 50, 100, …) accumulate Welford moments and re-estimate
+    the diagonal mass at each window end (restarting dual averaging with
+    the new metric); a final fast window re-tunes the step size against
+    the final mass. The last slow window absorbs any remainder. For short
+    warmups the buffers scale proportionally (15% / 75% / 10%).
+    """
+    if num_warmup <= 0:
+        return []
+    if num_warmup < 20:
+        return [("fast", num_warmup)]
+    if init_buffer + base_window + term_buffer > num_warmup:
+        init_buffer = max(1, int(0.15 * num_warmup))
+        term_buffer = max(1, int(0.10 * num_warmup))
+        base_window = num_warmup - init_buffer - term_buffer
+    windows = [("fast", init_buffer)]
+    slow_end = num_warmup - term_buffer
+    pos, w = init_buffer, base_window
+    while pos < slow_end:
+        end = slow_end if pos + 3 * w > slow_end else pos + w
+        windows.append(("slow", end - pos))
+        pos, w = end, 2 * w
+    windows.append(("fast", term_buffer))
+    return windows
+
+
 class _TreeState(NamedTuple):
     """State of the growing NUTS trajectory."""
 
@@ -336,22 +366,28 @@ def nuts(
     keys_w = jax.random.split(key, num_warmup + 1)
     key = keys_w[0]
     if num_warmup > 0:
-        # two phases: first 50% step-size only, then re-estimate mass and
-        # re-adapt the step size with the new metric
-        half = num_warmup // 2
-        (z, lp, grad, da, w, inv_mass), _ = jax.lax.scan(
-            warmup_step, (x0, lp0, g0, da0, w0, inv_mass0), keys_w[1 : half + 1]
-        )
-        if adapt_mass:
-            # optimal diagonal mass ≈ inverse posterior variance, so the
-            # velocity scale inv_mass = posterior variance (Stan convention)
-            inv_mass = maybe_pmean(welford_variance(w))
-        da = da_init(jnp.exp(da.log_step_avg))
-        w = welford_init(dim, dtype)
-        (z, lp, grad, da, w, _), _ = jax.lax.scan(
-            warmup_step, (z, lp, grad, da, w, inv_mass),
-            keys_w[half + 1 :],
-        )
+        # Stan-style windowed warmup (see ``warmup_schedule``): fast
+        # step-size-only buffers bracket doubling slow windows; each slow
+        # window re-estimates the diagonal mass from fresh Welford moments
+        # (optimal inv_mass ≈ posterior variance, Stan convention) and
+        # restarts dual averaging against the new metric. This replaces
+        # the earlier fixed half/half split, whose single mass estimate
+        # left chains unconverged at short warmups (R̂ ≫ 1.01).
+        z, lp, grad = x0, lp0, g0
+        da, inv_mass = da0, inv_mass0
+        offset = 1
+        for phase, span in warmup_schedule(num_warmup):
+            if span <= 0:
+                continue
+            w = welford_init(dim, dtype)
+            (z, lp, grad, da, w, inv_mass), _ = jax.lax.scan(
+                warmup_step, (z, lp, grad, da, w, inv_mass),
+                keys_w[offset : offset + span],
+            )
+            offset += span
+            if phase == "slow" and adapt_mass:
+                inv_mass = maybe_pmean(welford_variance(w))
+                da = da_init(jnp.exp(da.log_step_avg))
         eps_final = jnp.exp(da.log_step_avg)
     else:
         z, lp, grad = x0, lp0, g0

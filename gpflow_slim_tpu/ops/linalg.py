@@ -28,20 +28,60 @@ def _pallas_active() -> bool:
         return False
 
 
+# Compile-probe cache for the Pallas Cholesky block size: (N, dtype, bs) →
+# bool. Probing AOT-compiles the standalone kernel once per shape; a
+# rejection (e.g. scoped-VMEM overflow on some compiler versions) falls
+# back to the next candidate, and finally to XLA — the fast path can never
+# take the program down.
+_CHOL_PROBE_CACHE: dict = {}
+
+# Below this the whole factorization is one or two blocks and XLA's native
+# Cholesky wins (measured crossover on v5e — see docs/PERFORMANCE.md).
+_PALLAS_CHOL_MIN_N = 2048
+
+
+def _pallas_chol_block_size(N, dtype):
+    """Largest candidate block size whose kernel compiles for this shape,
+    or None to use XLA. GFS_PALLAS_CHOL_BS pins a single candidate."""
+    import functools
+    import os
+
+    env = os.environ.get("GFS_PALLAS_CHOL_BS")
+    if env is not None and int(env) == 0:
+        return None
+    candidates = [int(env)] if env else [512, 256]
+    from . import pallas_cholesky
+
+    for bs in candidates:
+        key = (int(N), jnp.dtype(dtype).name, bs)
+        ok = _CHOL_PROBE_CACHE.get(key)
+        if ok is None:
+            try:
+                jax.jit(
+                    functools.partial(pallas_cholesky.cholesky, block_size=bs)
+                ).lower(jax.ShapeDtypeStruct((N, N), dtype)).compile()
+                ok = True
+            except Exception:  # compile rejection — try the next size
+                ok = False
+            _CHOL_PROBE_CACHE[key] = ok
+        if ok:
+            return bs
+    return None
+
+
 def cholesky(K):
     """Lower Cholesky factor of an SPD matrix."""
-    if _pallas_active():
-        import os
-
+    if (
+        _pallas_active()
+        and K.ndim == 2
+        and K.dtype == jnp.float32
+        and K.shape[0] >= _PALLAS_CHOL_MIN_N
+    ):
         from . import pallas_cholesky
 
-        # bs=512 wins ≥~6k on v5e (DMA-bound SYRK likes the arithmetic
-        # intensity: 8.4 ms vs XLA 11.4 at N=8192) but sits at the edge of
-        # the 16 MiB scoped-VMEM budget and this environment's remote
-        # compiler intermittently rejects it — default to the always-safe
-        # 256 and let users opt in via GFS_PALLAS_CHOL_BS=512
-        bs = int(os.environ.get("GFS_PALLAS_CHOL_BS", 256))
-        return pallas_cholesky.cholesky(K, bs)
+        bs = _pallas_chol_block_size(K.shape[0], K.dtype)
+        if bs is not None:
+            return pallas_cholesky.cholesky(K, bs)
     return _xla_cholesky(K, lower=True)
 
 
@@ -69,6 +109,53 @@ def solve_upper(U, B):
 def cho_solve_lower(L, B):
     """Solve (L Lᵀ) x = B given the lower Cholesky factor."""
     return solve_upper(L.T, solve_lower(L, B))
+
+
+# Batched triangles up to this size fit whole in a VMEM tile (f32) —
+# larger batches fall back to vmap'd XLA substitution.
+_PALLAS_BATCHED_TRSM_MAX_M = 1024
+
+
+def _batched_pallas_ok(L, B):
+    return (
+        _pallas_active()
+        and L.ndim == 3
+        and B.ndim == 3
+        and L.dtype == jnp.float32
+        and L.shape[1] <= _PALLAS_BATCHED_TRSM_MAX_M
+    )
+
+
+def batched_solve_lower(L, B):
+    """Solve L[p] X = B[p] over a leading batch dim (the (P, M, M)
+    variational q_sqrt / per-output solves). Pallas grid kernel on TPU
+    (one whole triangle per VMEM tile, inverted once, applied as a GEMM);
+    vmap'd XLA substitution otherwise."""
+    if _batched_pallas_ok(L, B):
+        from . import pallas_trsm
+
+        return pallas_trsm.batched_solve_lower(L, B)
+    return jax.vmap(
+        lambda l, b: _xla_solve_triangular(l, b, lower=True)
+    )(L, B)
+
+
+def batched_solve_upper(U, B):
+    """Solve U[p] X = B[p] over a leading batch dim (upper triangles)."""
+    if _batched_pallas_ok(U, B):
+        from . import pallas_trsm
+
+        return pallas_trsm.batched_solve_upper(U, B)
+    return jax.vmap(
+        lambda u, b: _xla_solve_triangular(u, b, lower=False)
+    )(U, B)
+
+
+def batched_cho_solve_lower(L, B):
+    """Solve (L[p] L[p]ᵀ) X = B[p] given batched lower factors."""
+    return batched_solve_upper(
+        jnp.swapaxes(L, 1, 2), batched_solve_lower(L, B)
+    )
 
 
 def robust_cholesky(K, max_tries: int = 5):

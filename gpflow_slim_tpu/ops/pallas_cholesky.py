@@ -242,7 +242,12 @@ def _make_chol_kernel(nb: int, bs: int):
             Lkk = _vmem_cholesky(diag[:])
             diag[:] = Lkk
             copy_out(diag, k, k)
-            # 2) invert it once (log-depth Newton): TRSM becomes GEMM
+            # 2) invert it once (log-depth Newton, full-tile GEMMs) so the
+            #    panel TRSM becomes a GEMM. The full-tile iteration needs a
+            #    few bs² live temporaries — covered by the raised
+            #    vmem_limit_bytes below; the blocked alternative
+            #    (_vmem_tri_inverse) fits 16 MiB but its long chain of
+            #    64×64 GEMMs is ~50% slower end-to-end at bs=512
             zinv[:] = _vmem_tri_inverse_newton(Lkk)
 
             # 3) panel: L[i,k] = A[i,k] @ Lkk⁻ᵀ
@@ -353,6 +358,11 @@ def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False):
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             has_side_effects=True,
+            # the scoped-VMEM default (16 MiB) is a compiler knob, not the
+            # hardware: v5e cores have 128 MiB of VMEM. bs=512 scratch +
+            # temporaries need ~17 MiB; give headroom so the fastest block
+            # size isn't rejected at compile time
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
     )(Kp)
     return jnp.tril(out[:N, :N])

@@ -162,6 +162,102 @@ def _trsm_bwd(lower, res, g):
 _trsm.defvjp(_trsm_fwd, _trsm_bwd)
 
 
+def _make_batched_trsm_kernel(lower: bool):
+    def kernel(l_ref, b_ref, out_ref):
+        L = l_ref[0]  # (M, M) — one batch element per grid step
+        B = b_ref[0]  # (M, K)
+        Z = _vmem_tri_inverse(L if lower else L.T)  # lower inverse
+        Zi = Z if lower else Z.T
+        out_ref[0] = jax.lax.dot_general(
+            Zi, B, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_MM_PRECISION,
+        ).astype(out_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("lower", "interpret"))
+def _batched_trsm_pallas(L, B, lower: bool = True, interpret: bool = False):
+    """Solve L[p] X[p] = B[p] for a leading batch dim: grid over p, one
+    whole (M, M) triangle per VMEM tile (M up to ~1024 in f32). The
+    triangle is inverted once per batch element (blocked Newton/
+    substitution — ``_vmem_tri_inverse``) and applied as a single MXU
+    GEMM; this replaces a vmap'd XLA substitution chain of M sequential
+    steps per element."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, M, _ = L.shape
+    K = B.shape[2]
+    # pad M to the 128-lane tile AND the _SUB panel multiple; keep the
+    # padded triangle invertible with a unit-diagonal extension
+    Mp = M + ((-M) % 128)
+    Kp = K + ((-K) % 128)
+    if Mp != M:
+        Lp = jnp.zeros((P, Mp, Mp), L.dtype)
+        Lp = Lp.at[:, :M, :M].set(L)
+        idx = jnp.arange(M, Mp)
+        Lp = Lp.at[:, idx, idx].set(1.0)
+    else:
+        Lp = L
+    Bp = jnp.pad(B, ((0, 0), (0, Mp - M), (0, Kp - K)))
+
+    out = pl.pallas_call(
+        _make_batched_trsm_kernel(lower),
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((1, Mp, Mp), lambda p: (p, 0, 0)),
+            pl.BlockSpec((1, Mp, Kp), lambda p: (p, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Mp, Kp), lambda p: (p, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, Mp, Kp), B.dtype),
+        interpret=interpret,
+    )(Lp, Bp)
+    return out[:, :M, :K]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _batched_trsm(L, B, lower):
+    return _batched_trsm_pallas(L, B, lower=lower)
+
+
+def _batched_trsm_fwd(L, B, lower):
+    X = _batched_trsm_pallas(L, B, lower=lower)
+    return X, (L, X)
+
+
+def _batched_trsm_bwd(lower, res, g):
+    L, X = res
+    gB = _batched_trsm_pallas(
+        jnp.swapaxes(L, 1, 2), g, lower=not lower
+    )
+    dL = -jnp.einsum("pik,pjk->pij", gB, X)
+    dL = jnp.tril(dL) if lower else jnp.triu(dL)
+    return dL, gB
+
+
+_batched_trsm.defvjp(_batched_trsm_fwd, _batched_trsm_bwd)
+
+
+def batched_solve_lower(L, B):
+    """Solve L[p] X = B[p], L (P, M, M) lower, B (P, M, K)."""
+    return _batched_trsm(L, B, True)
+
+
+def batched_solve_upper(U, B):
+    """Solve U[p] X = B[p], U (P, M, M) upper, B (P, M, K)."""
+    return _batched_trsm(U, B, False)
+
+
+def batched_solve_lower_interpret(L, B):
+    return _batched_trsm_pallas(L, B, lower=True, interpret=True)
+
+
+def batched_solve_upper_interpret(U, B):
+    return _batched_trsm_pallas(U, B, lower=False, interpret=True)
+
+
 def solve_lower(L, B, block_size: int = 256):
     return _trsm(L, B, True)
 

@@ -115,3 +115,79 @@ def test_use_pallas_flag_routing_cpu_noop():
         v = float(m.objective())
     m2 = gfs.models.GPR(X, Y, kern=gfs.kernels.RBF(1))
     assert abs(v - float(m2.objective())) < 1e-10
+
+
+def test_batched_trsm_matches_vmapped_xla():
+    """Batched (P, M, M) solves — the q_sqrt / per-output variational
+    pattern (VERDICT round-1 gap #3). Interpret mode on CPU; compiled
+    coverage in tests/test_tpu_compiled.py."""
+    P, M, K = 3, 96, 40  # M, K deliberately off the 128 tile
+    Ls, Bs = [], []
+    for p in range(P):
+        A = rng.randn(M, M).astype(np.float32)
+        Ls.append(np.tril(A) + M * np.eye(M, dtype=np.float32))
+        Bs.append(rng.randn(M, K).astype(np.float32))
+    L = jnp.asarray(np.stack(Ls))
+    B = jnp.asarray(np.stack(Bs))
+
+    X = np.asarray(pallas_trsm.batched_solve_lower_interpret(L, B))
+    ref = np.stack([
+        np.linalg.solve(l.astype(np.float64), b) for l, b in zip(Ls, Bs)
+    ])
+    np.testing.assert_allclose(X, ref, atol=2e-5)
+
+    U = jnp.swapaxes(L, 1, 2)
+    Xu = np.asarray(pallas_trsm.batched_solve_upper_interpret(U, B))
+    refu = np.stack([
+        np.linalg.solve(l.T.astype(np.float64), b) for l, b in zip(Ls, Bs)
+    ])
+    np.testing.assert_allclose(Xu, refu, atol=2e-5)
+
+
+def test_batched_trsm_vjp_matches_xla():
+    P, M, K = 2, 64, 8
+    Ls = np.stack([
+        np.tril(rng.randn(M, M)).astype(np.float32)
+        + M * np.eye(M, dtype=np.float32)
+        for _ in range(P)
+    ])
+    Bs = rng.randn(P, M, K).astype(np.float32)
+
+    def ref_fn(L, B):
+        sol = jax.vmap(
+            lambda l, b: jax.scipy.linalg.solve_triangular(l, b, lower=True)
+        )(L, B)
+        return jnp.sum(jnp.sin(sol))
+
+    L, B = jnp.asarray(Ls), jnp.asarray(Bs)
+    gref_L, gref_B = jax.grad(ref_fn, argnums=(0, 1))(L, B)
+
+    # the custom-VJP adjoint formula (dB = L⁻ᵀ g, dL = −tril(dB Xᵀ)),
+    # evaluated through the interpret-mode kernels on CPU
+    from gpflow_slim_tpu.ops.pallas_trsm import (
+        _batched_trsm_pallas,
+    )
+    X = _batched_trsm_pallas(L, B, lower=True, interpret=True)
+    g = jnp.cos(X)  # d/dX of sum(sin(X))
+    dB = _batched_trsm_pallas(jnp.swapaxes(L, 1, 2), g, lower=False,
+                              interpret=True)
+    dL = -jnp.tril(jnp.einsum("pik,pjk->pij", dB, X))
+    np.testing.assert_allclose(np.asarray(dL), np.asarray(gref_L),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dB), np.asarray(gref_B),
+                               atol=2e-4)
+
+
+def test_linalg_batched_routing_cpu():
+    from gpflow_slim_tpu.ops import linalg
+    P, M, K = 2, 32, 4
+    Ls = np.stack([
+        np.tril(rng.randn(M, M)) + M * np.eye(M) for _ in range(P)
+    ])
+    Bs = rng.randn(P, M, K)
+    out = np.asarray(linalg.batched_cho_solve_lower(jnp.asarray(Ls),
+                                                    jnp.asarray(Bs)))
+    ref = np.stack([
+        np.linalg.solve(l @ l.T, b) for l, b in zip(Ls, Bs)
+    ])
+    np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
