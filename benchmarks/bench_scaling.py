@@ -1,0 +1,193 @@
+"""Scaling-efficiency harness: distributed GPR + NUTS chains vs mesh size.
+
+Rehearses the north-star ">80% multi-host efficiency" measurement
+(BASELINE.json) without pod hardware: runs the SAME sharded programs the
+pod would run at mesh sizes 1/2/4/8 and reports throughput + efficiency.
+
+Two regimes, auto-detected:
+
+  * real multi-device backend (each mesh device is its own chip):
+    strong-scaling efficiency = rate_P / (P · rate_1) — the north-star
+    number.
+  * virtual CPU mesh (``--xla_force_host_platform_device_count``): all
+    "devices" share the host's cores, so ideal strong scaling keeps the
+    rate FLAT; what the rehearsal measures is partitioning + collective
+    OVERHEAD: eff_virtual = rate_P / rate_1. On real chips the same
+    harness yields the real number.
+
+Measurements:
+
+  1. Distributed exact-GPR loss+grad (1-D ring Gram + sharded blocked
+     Cholesky, ``make_distributed_gpr_loss``) at fixed global N — strong
+     scaling.
+  2. NUTS chains (``sample_chains`` over a ``chains`` mesh axis, shared
+     adaptation via pmean) with chains ∝ devices — weak scaling (ideal:
+     flat wall-clock as chains grow with P).
+
+Usage:  python benchmarks/bench_scaling.py [--devices 1,2,4,8] [--n 4096]
+        [--chains-per-dev 2] [--samples 64] [--skip-nuts]
+Prints one JSON line per (bench, P) plus a summary table to stderr.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--devices", default="1,2,4,8")
+_ap.add_argument("--n", type=int, default=4096)
+_ap.add_argument("--block-size", type=int, default=256)
+_ap.add_argument("--chains-per-dev", type=int, default=2)
+_ap.add_argument("--samples", type=int, default=64)
+_ap.add_argument("--warmup", type=int, default=64)
+_ap.add_argument("--reps", type=int, default=3)
+_ap.add_argument("--skip-nuts", action="store_true")
+_ap.add_argument("--skip-gpr", action="store_true")
+_ap.add_argument("--real", action="store_true",
+                 help="use the real accelerator devices (pod). Default is "
+                      "the virtual CPU mesh: creating the TPU client is "
+                      "exclusive-access, and a 1-chip session can't scale "
+                      "anyway")
+args = _ap.parse_args()
+
+sizes = sorted({int(s) for s in args.devices.split(",")})
+max_dev = sizes[-1]
+
+# the virtual-device flag must land before the backend client exists
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={max_dev}"
+)
+
+import jax  # noqa: E402
+
+if not args.real:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+import gpflow_slim_tpu as gfs  # noqa: E402
+from gpflow_slim_tpu import parallel  # noqa: E402
+
+VIRTUAL = jax.default_backend() == "cpu"
+
+
+def _mesh(P, axis):
+    return Mesh(np.array(jax.devices()[:P]), (axis,))
+
+
+def _timed_min(fn, reps):
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_gpr(sizes):
+    """Strong scaling: fixed global N, distributed loss+grad evals/s."""
+    N = args.n
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0, 1, (N, 1)).astype(np.float32)
+    Y = (np.sin(12 * X) + 0.1 * rng.randn(N, 1)).astype(np.float32)
+    rows = []
+    for P_ in sizes:
+        mesh = _mesh(P_, "rows")
+        model = gfs.models.GPR(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.2))
+        loss_fn = parallel.make_distributed_gpr_loss(
+            model, mesh, block_size=args.block_size)
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        v, g = vg(model)
+        jax.block_until_ready((v, g))  # compile + warm
+
+        def run():
+            jax.block_until_ready(vg(model))
+
+        dt = _timed_min(run, args.reps)
+        rows.append((P_, 1.0 / dt))
+        print(json.dumps({
+            "bench": "dist_gpr_loss_grad", "devices": P_, "n": N,
+            "evals_per_sec": round(1.0 / dt, 4), "sec": round(dt, 4),
+            "virtual_mesh": VIRTUAL,
+        }))
+    return rows
+
+
+def bench_nuts(sizes):
+    """Weak scaling: chains ∝ devices, shared adaptation across the mesh."""
+    rng = np.random.RandomState(1)
+    N = 256
+    X = rng.uniform(0, 1, (N, 1))
+    Y = np.sin(12 * X) + 0.1 * rng.randn(N, 1)
+    dt_f = gfs.config.default_float()
+    X, Y = jnp.asarray(X, dt_f), jnp.asarray(Y, dt_f)
+
+    def logprob(z):
+        kern = gfs.kernels.RBF(1)
+        m = gfs.models.GPR(X, Y, kern=kern)
+        leaves, td = jax.tree_util.tree_flatten(m)
+        # overwrite the 3 scalar hypers (unconstrained) with z
+        zi = iter(range(len(z)))
+        leaves = [z[next(zi)] if l.ndim == 0 else l for l in leaves]
+        return -jax.tree_util.tree_unflatten(td, leaves).objective()
+
+    dim = 3
+    rows = []
+    for P_ in sizes:
+        C = args.chains_per_dev * P_
+        x0s = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(0), (C, dim), dtype=dt_f)
+        mesh = _mesh(P_, "chains") if P_ > 1 else None
+
+        def run():
+            s, info = parallel.sample_chains(
+                logprob, x0s, jax.random.PRNGKey(2), args.samples,
+                sampler="nuts", mesh=mesh, num_warmup=args.warmup,
+                max_depth=6,
+            )
+            jax.block_until_ready(s)
+
+        run()  # compile
+        dt = _timed_min(run, max(1, args.reps - 1))
+        draws_ps = C * args.samples / dt
+        rows.append((P_, draws_ps))
+        print(json.dumps({
+            "bench": "nuts_chains", "devices": P_, "chains": C,
+            "draws_per_sec": round(draws_ps, 2), "sec": round(dt, 3),
+            "virtual_mesh": VIRTUAL,
+        }))
+    return rows
+
+
+def summarize(name, rows, weak=False):
+    if not rows:
+        return
+    p1, r1 = rows[0]
+    print(f"\n# {name} ({'virtual CPU mesh — overhead rehearsal' if VIRTUAL else 'real devices'})",
+          file=sys.stderr)
+    hdr = "devices  rate       speedup  " + (
+        "eff(weak)" if weak else ("overhead-eff" if VIRTUAL else "eff(strong)"))
+    print("# " + hdr, file=sys.stderr)
+    for P_, r in rows:
+        su = r / r1
+        if weak:
+            # ideal weak scaling: rate ∝ P (real) / flat total rate (virtual)
+            eff = su / (P_ / p1) if not VIRTUAL else su
+        else:
+            eff = su / (P_ / p1) if not VIRTUAL else su
+        print(f"# {P_:7d}  {r:9.3f}  {su:6.2f}x  {eff:8.1%}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    if not args.skip_gpr:
+        summarize("distributed GPR loss+grad (strong scaling)",
+                  bench_gpr(sizes))
+    if not args.skip_nuts:
+        summarize("NUTS chains (weak scaling)", bench_nuts(sizes), weak=True)

@@ -87,7 +87,14 @@ def bench_svgp_natgrad(N=100_000, M=256, B=1024, steps=20):
     }))
 
 
-def bench_nuts(N=1000, chains=8, samples=128, warmup=128):
+def bench_nuts(N=1000, chains=8, samples=None, warmup=None):
+    # convergence-grade defaults: the Stan-style windowed warmup
+    # (mcmc.nuts.warmup_schedule) needs ≥ init+window+term ≈ 150 draws to
+    # complete a full fast/slow-doubling/fast cycle; 300 gives two slow
+    # doublings. 256 retained draws × 8 chains puts min-ESS well past 100
+    # so the ESS/s metric is measured on a CONVERGED sampler (R̂ ≤ 1.01).
+    samples = samples or int(os.environ.get("BENCH_NUTS_SAMPLES", 256))
+    warmup = warmup or int(os.environ.get("BENCH_NUTS_WARMUP", 300))
     import jax
     import jax.numpy as jnp
 

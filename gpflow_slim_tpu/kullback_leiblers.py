@@ -67,9 +67,13 @@ def gauss_kl(q_mu, q_sqrt, K=None):
 
 
 def _batched_solve(Lp, Lq):
-    import jax
+    # (P, M, M) per-output solves — THE workload the batched Pallas TRSM
+    # exists for (ops.linalg routes to it on TPU/f32, vmap'd XLA otherwise)
+    from .ops import linalg
 
-    return jax.vmap(lambda B: solve_triangular(Lp, B, lower=True))(jnp.tril(Lq))
+    Lq = jnp.tril(Lq)
+    Lp_b = jnp.broadcast_to(Lp, (Lq.shape[0],) + Lp.shape)
+    return linalg.batched_solve_lower(Lp_b, Lq)
 
 
 def _lower_mask(q_sqrt):

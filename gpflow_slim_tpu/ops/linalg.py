@@ -47,9 +47,13 @@ def _pallas_chol_block_size(N, dtype):
     import os
 
     env = os.environ.get("GFS_PALLAS_CHOL_BS")
-    if env is not None and int(env) == 0:
-        return None
-    candidates = [int(env)] if env else [512, 256]
+    if env:  # empty string == unset (int('') would raise)
+        bs_pin = int(env)
+        if bs_pin == 0:
+            return None
+        candidates = [bs_pin]
+    else:
+        candidates = [512, 256]
     from . import pallas_cholesky
 
     for bs in candidates:
@@ -85,12 +89,25 @@ def cholesky(K):
     return _xla_cholesky(K, lower=True)
 
 
+def _wide_pallas_ok(T, B):
+    # dtype gate: the Mosaic TRSM kernels are f32-only — under
+    # jax_enable_x64 (this repo's parity mode) f64 operands must stay on
+    # the XLA path rather than fail at compile time
+    return (
+        _pallas_active()
+        and B.ndim == 2
+        and B.shape[1] >= 128
+        and T.dtype == jnp.float32
+        and B.dtype == jnp.float32
+    )
+
+
 def solve_lower(L, B):
     """Solve L x = B with L lower-triangular."""
     # thin RHS (e.g. the (N, P) targets of GPR, P small) can't feed the
     # MXU tiles the blocked kernel is built around — XLA's substitution
     # solve wins there; route Pallas only for wide RHS panels
-    if _pallas_active() and B.ndim == 2 and B.shape[1] >= 128:
+    if _wide_pallas_ok(L, B):
         from . import pallas_trsm
 
         return pallas_trsm.solve_lower(L, B)
@@ -99,7 +116,7 @@ def solve_lower(L, B):
 
 def solve_upper(U, B):
     """Solve U x = B with U upper-triangular."""
-    if _pallas_active() and B.ndim == 2 and B.shape[1] >= 128:
+    if _wide_pallas_ok(U, B):
         from . import pallas_trsm
 
         return pallas_trsm.solve_upper(U, B)
@@ -122,6 +139,9 @@ def _batched_pallas_ok(L, B):
         and L.ndim == 3
         and B.ndim == 3
         and L.dtype == jnp.float32
+        and B.dtype == jnp.float32
+        and L.shape[0] == B.shape[0]
+        and L.shape[2] == B.shape[1]
         and L.shape[1] <= _PALLAS_BATCHED_TRSM_MAX_M
     )
 

@@ -95,11 +95,15 @@ def _vmem_tri_inverse_newton(L):
     Stability: the residual powers are exact only in exact arithmetic; in
     f32 the intermediate E₀^(2^t) entries can transiently overflow when
     |L_ij| ≫ L_jj (wildly unequal pivots). We therefore iterate on the
-    symmetrically scaled L' = D^{-1/2} L D^{-1/2} (unit diagonal, entries
-    L_ij/√(dᵢdⱼ)) and unscale afterwards: L⁻¹ = D^{-1/2} L'⁻¹ D^{-1/2}.
-    For tiles that arise as Cholesky factors of jittered SPD GP blocks the
-    scaled off-diagonals are O(1) and the iteration is overflow-free; the
-    sequential-substitution inverse remains in the source
+    symmetrically scaled L' = S L S with S = |D|^{-1/2} (diagonal ±1,
+    entries L_ij/√|dᵢdⱼ|) and unscale afterwards: L⁻¹ = S L'⁻¹ S. The
+    sign is folded into the initial iterate X₀ = diag(sign d), so that
+    E₀ = I − L'X₀ stays strictly lower triangular (nilpotent) and the
+    iteration remains exact for triangles with NEGATIVE diagonal entries
+    too — this routine also serves the general TRSM kernels, not just
+    Cholesky factors. For tiles that arise from jittered SPD GP blocks
+    the scaled off-diagonals are O(1) and the iteration is overflow-free;
+    the sequential-substitution inverse remains in the source
     (``_vmem_tri_inverse_small``) as the fallback for pathological inputs.
     """
     bs = L.shape[0]
@@ -107,9 +111,10 @@ def _vmem_tri_inverse_newton(L):
     c2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
     eye = (r2 == c2).astype(L.dtype)
     d = jnp.sum(L * eye, axis=1, keepdims=True)  # (bs, 1) diagonal
-    s = jax.lax.rsqrt(d)  # D^{-1/2}, column vector
-    Ls = L * s * s.reshape(1, bs)  # D^{-1/2} L D^{-1/2}, unit diagonal
-    X = eye  # (D')⁻¹ = I for the scaled iterate
+    s = jax.lax.rsqrt(jnp.abs(d))  # |D|^{-1/2}, column vector
+    sign = jnp.where(d < 0, -1.0, 1.0).astype(L.dtype)  # (bs, 1)
+    Ls = L * s * s.reshape(1, bs)  # S L S, diagonal = sign(d)
+    X = eye * sign  # X₀ = diag(sign d) ⇒ I − L'X₀ strictly lower
     two_eye = 2.0 * eye
     n_iter = max(1, int(np.ceil(np.log2(bs))))
     for _ in range(n_iter):
