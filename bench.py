@@ -18,11 +18,17 @@ import numpy as np
 
 
 def oracle_eval_rate(X, Y, variance, lengthscale, noise, reps=2):
-    """Reference-math (numpy/scipy f64) marginal-likelihood eval rate."""
-    from scipy.linalg import cho_factor, solve_triangular
+    """Reference-math (numpy/scipy f64) marginal-likelihood eval rate.
 
-    t0 = time.perf_counter()
+    min-of-``reps`` per-eval timing: the oracle shares the host with other
+    processes, and a single-rep measurement drifted 5× between rounds
+    (BENCH_r01 vs r02 `vs_baseline`); the minimum is the stable statistic.
+    """
+    from scipy.linalg import solve_triangular
+
+    best = float("inf")
     for _ in range(reps):
+        t0 = time.perf_counter()
         Xs = X / lengthscale
         sq = (
             (Xs**2).sum(1)[:, None]
@@ -38,7 +44,8 @@ def oracle_eval_rate(X, Y, variance, lengthscale, noise, reps=2):
             - np.sum(np.log(np.diag(L)))
             - 0.5 * np.sum(alpha**2)
         )
-    return reps / (time.perf_counter() - t0)
+        best = min(best, time.perf_counter() - t0)
+    return 1.0 / best
 
 
 def _timed(fn):
@@ -82,12 +89,13 @@ def main():
             - 0.5 * (al**2).sum()
         )
         rel = abs(val - oracle_val) / abs(oracle_val)
+        print(
+            f"# f64-oracle check: device={val:.4f} oracle={oracle_val:.4f} "
+            f"rel={rel:.2e}",
+            file=sys.stderr,
+        )
         if rel > 0.01:
-            print(
-                f"# WARNING objective mismatch: device={val:.3f} "
-                f"oracle={oracle_val:.3f} rel={rel:.2e}",
-                file=sys.stderr,
-            )
+            print("# WARNING objective mismatch beyond 1%", file=sys.stderr)
 
     # time R evals in ONE on-device lax.scan: each iteration perturbs a
     # hyperparameter (defeats any caching) and the scan keeps the loop on
@@ -136,7 +144,7 @@ def main():
 
     base = oracle_eval_rate(
         X.astype(np.float64), Y.astype(np.float64), 1.0, 0.1, 1.0,
-        reps=1 if N >= 10_000 else 3,
+        reps=2 if N >= 10_000 else 4,
     )
 
     print(json.dumps({
