@@ -14,15 +14,23 @@ import os
 import sys
 import time
 
-import numpy as np
+# Pin the oracle's BLAS thread count BEFORE numpy loads: the host CPU is
+# shared and unpinned OpenBLAS/MKL threading made `vs_baseline` swing 4×
+# between rounds for reasons unrelated to this project (VERDICT r3 #8).
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "8")
+
+import numpy as np  # noqa: E402
 
 
 def oracle_eval_rate(X, Y, variance, lengthscale, noise, reps=2):
     """Reference-math (numpy/scipy f64) marginal-likelihood eval rate.
 
-    min-of-``reps`` per-eval timing: the oracle shares the host with other
-    processes, and a single-rep measurement drifted 5× between rounds
-    (BENCH_r01 vs r02 `vs_baseline`); the minimum is the stable statistic.
+    min-of-``reps`` per-eval timing with BLAS threads pinned (above): the
+    oracle shares the host with other processes, and a single-rep unpinned
+    measurement drifted 5× between rounds (BENCH_r01 vs r02 `vs_baseline`);
+    the pinned minimum is the stable statistic. The absolute oracle rate is
+    also reported in the JSON line so the ratio can be audited.
     """
     from scipy.linalg import solve_triangular
 
@@ -104,23 +112,27 @@ def main():
     # loops (which are themselves scans).
     import jax.numpy as jnp
 
-    leaves, treedef = jax.tree_util.tree_flatten(model)
     reps = int(os.environ.get("BENCH_REPS", 30))
 
-    @jax.jit
-    def many_evals(leaves, seed):
-        def body(carry, i):
-            pert = [
-                l + seed * 1e-7 + 1e-6 * (i + 1) if l.ndim == 0 else l
-                for l in leaves
-            ]
-            m = jax.tree_util.tree_unflatten(treedef, pert)
-            return carry + m.objective(), None
+    def make_many_evals(m):
+        leaves, treedef = jax.tree_util.tree_flatten(m)
 
-        total, _ = jax.lax.scan(
-            body, jnp.zeros((), jnp.float32), jnp.arange(reps)
-        )
-        return total
+        @jax.jit
+        def many_evals(leaves, seed):
+            def body(carry, i):
+                pert = [
+                    l + seed * 1e-7 + 1e-6 * (i + 1) if l.ndim == 0 else l
+                    for l in leaves
+                ]
+                mm = jax.tree_util.tree_unflatten(treedef, pert)
+                return carry + mm.objective(), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), jnp.arange(reps)
+            )
+            return total
+
+        return leaves, many_evals
 
     # fresh seed per timed call (defeats result memoization); min-of-3
     # timings minus the measured dispatch latency (the tunnel's round-trip
@@ -135,16 +147,41 @@ def main():
         for i in range(3)
     )
 
-    many_evals(leaves, jnp.float32(0.0)).block_until_ready()  # compile
-    elapsed = min(
-        _timed(lambda: float(many_evals(leaves, jnp.float32(17.0 + 7 * t))))
-        for t in range(3)
-    )
-    evals_per_sec = reps / max(elapsed - lat, 1e-6)
+    def timed_rate(m):
+        leaves, many_evals = make_many_evals(m)
+        many_evals(leaves, jnp.float32(0.0)).block_until_ready()  # compile
+        elapsed = min(
+            _timed(
+                lambda: float(many_evals(leaves, jnp.float32(17.0 + 7 * t)))
+            )
+            for t in range(3)
+        )
+        return reps / max(elapsed - lat, 1e-6)
+
+    # Same-session Pallas on/off pair (VERDICT r3 #1): the tunnel drifts
+    # ±30% between sessions, so only same-process pairs are evidence that
+    # the routing default is the faster path at the headline shape.
+    rates = {}
+    import dataclasses
+
+    from gpflow_slim_tpu import config as _config
+
+    for flag in (True, False):
+        old = _config.settings()
+        _config.set_settings(dataclasses.replace(old, use_pallas=flag))
+        try:
+            rates[flag] = timed_rate(
+                gfs.models.GPR(
+                    X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.1)
+                )
+            )
+        finally:
+            _config.set_settings(old)
+    evals_per_sec = rates[True]  # the shipped default path
 
     base = oracle_eval_rate(
         X.astype(np.float64), Y.astype(np.float64), 1.0, 0.1, 1.0,
-        reps=2 if N >= 10_000 else 4,
+        reps=3 if N >= 10_000 else 5,
     )
 
     print(json.dumps({
@@ -152,6 +189,8 @@ def main():
         "value": round(evals_per_sec, 3),
         "unit": "evals/s",
         "vs_baseline": round(evals_per_sec / base, 2),
+        "evals_per_sec_use_pallas_false": round(rates[False], 3),
+        "oracle_evals_per_sec": round(base, 4),
     }))
 
 

@@ -18,13 +18,14 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cholesky, solve_triangular
 
 from . import config
+from .ops import linalg as ops_linalg
 
 __all__ = ["base_conditional", "base_conditional_with_lm", "conditional",
            "feature_conditional", "uncertain_conditional", "psi_statistics"]
 
 
 def base_conditional(Kmn, Kmm, Knn, f, *, full_cov=False, q_sqrt=None, white=False):
-    Lm = cholesky(Kmm, lower=True)
+    Lm = ops_linalg.cholesky(Kmm)
     return base_conditional_with_lm(
         Kmn, Lm, Knn, f, full_cov=full_cov, q_sqrt=q_sqrt, white=white
     )
@@ -35,7 +36,10 @@ def base_conditional_with_lm(Kmn, Lm, Knn, f, *, full_cov=False,
     """base_conditional given a precomputed Cholesky of Kmm (serving path)."""
     num_func = f.shape[1]  # P
 
-    A = solve_triangular(Lm, Kmn, lower=True)  # (M, N)
+    # (M, N)-wide RHS: route through the switchable linalg so large test
+    # batches (SGPR/SVGP prediction) can hit the Pallas blocked TRSM; thin
+    # RHS still lands on XLA substitution inside ops.linalg's shape gate.
+    A = ops_linalg.solve_lower(Lm, Kmn)  # (M, N)
 
     if full_cov:
         fvar = Knn - A.T @ A  # (N, N)
@@ -45,7 +49,7 @@ def base_conditional_with_lm(Kmn, Lm, Knn, f, *, full_cov=False,
         fvar = jnp.tile(fvar[None, :], (num_func, 1))  # (P, N)
 
     if not white:
-        A = solve_triangular(Lm.T, A, lower=False)  # Kmm⁻¹-weighted
+        A = ops_linalg.solve_upper(Lm.T, A)  # Kmm⁻¹-weighted
 
     fmean = A.T @ f  # (N, P)
 

