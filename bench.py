@@ -79,16 +79,32 @@ def main():
     def objective(m):
         return m.objective()
 
-    # compile + warm up + correctness check vs the f64 oracle value
+    # compile + warm up + correctness check vs the f64 oracle value.
+    # The oracle is evaluated at the model's EFFECTIVE hyperparameters
+    # (the f32 positive-transform round-trip of 0.1/1.0/1.0, pulled to
+    # f64) — comparing at exactly-0.1 instead conflated ~1e-7 parameter
+    # quantization, amplified by the objective's hyperparameter
+    # sensitivity, into a ~2.5e-5 "accuracy gap" (rounds 1-3). With the
+    # oracle at the same point, the measured f32 COMPUTATION error at
+    # N=10k is ~6.5e-7 relative (decomposition:
+    # benchmarks/bench_accuracy.py; docs/PERFORMANCE.md).
+    import jax.numpy as _jnp
+
     val = float(objective(model).block_until_ready())
     if os.environ.get("BENCH_CHECK", "1") == "1":
         from scipy.linalg import solve_triangular as _st
 
-        Xd = X.astype(np.float64) / 0.1
+        ls_eff = float(np.float64(np.asarray(
+            _jnp.squeeze(model.kern.lengthscales.value))))
+        var_eff = float(np.float64(np.asarray(
+            _jnp.squeeze(model.kern.variance.value))))
+        noise_eff = float(np.float64(np.asarray(
+            _jnp.squeeze(model.likelihood.variance.value))))
+        Xd = X.astype(np.float64) / ls_eff
         sq = (
             (Xd**2).sum(1)[:, None] - 2 * Xd @ Xd.T + (Xd**2).sum(1)[None, :]
         )
-        Kd = np.exp(-0.5 * np.maximum(sq, 0)) + np.eye(N)
+        Kd = var_eff * np.exp(-0.5 * np.maximum(sq, 0)) + noise_eff * np.eye(N)
         Ld = np.linalg.cholesky(Kd)
         al = _st(Ld, Y.astype(np.float64), lower=True)
         oracle_val = -float(
@@ -98,12 +114,13 @@ def main():
         )
         rel = abs(val - oracle_val) / abs(oracle_val)
         print(
-            f"# f64-oracle check: device={val:.4f} oracle={oracle_val:.4f} "
-            f"rel={rel:.2e}",
+            f"# f64-oracle check (effective hypers ls={ls_eff:.9g}): "
+            f"device={val:.4f} oracle={oracle_val:.4f} rel={rel:.2e}",
             file=sys.stderr,
         )
-        if rel > 0.01:
-            print("# WARNING objective mismatch beyond 1%", file=sys.stderr)
+        if rel > 1e-5:
+            print("# WARNING objective computation error beyond 1e-5",
+                  file=sys.stderr)
 
     # time R evals in ONE on-device lax.scan: each iteration perturbs a
     # hyperparameter (defeats any caching) and the scan keeps the loop on

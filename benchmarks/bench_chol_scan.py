@@ -117,7 +117,12 @@ def main():
                 K = pallas_gram._gram_reference("rbf", X + eps, X + eps, var)
                 return jnp.sum(K[-1, -128:])
 
-            for name, step in (("pallas", gram_p), ("xla", gram_x)):
+            def gram_l(X, eps):
+                K = pallas_gram.stationary_gram_lower("rbf", X + eps, var)
+                return jnp.sum(K[-1, -128:])
+
+            for name, step in (("pallas", gram_p), ("xla", gram_x),
+                               ("lower", gram_l)):
                 sec = scan_time(step, Xd)
                 results[f"gram_{name}_n{N}"] = round(sec * 1e3, 3)
                 print(f"gram {name:9s} N={N}: {sec*1e3:8.2f} ms", flush=True)

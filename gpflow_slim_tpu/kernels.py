@@ -94,6 +94,16 @@ class Kernel(Module):
     def K(self, X, X2=None, presliced=False):
         raise NotImplementedError
 
+    def K_lower(self, X, presliced=False):
+        """K(X, X) for lower-triangle-only consumers (Cholesky input).
+
+        Contract: entries with row ≥ col equal ``K(X)``; entries above the
+        diagonal are unspecified. Stationary kernels override this with a
+        tile-grid kernel that skips the upper work; the default is the
+        full Gram (always a valid lower triangle).
+        """
+        return self.K(X, presliced=presliced)
+
     def Kdiag(self, X, presliced=False):
         raise NotImplementedError
 
@@ -216,8 +226,33 @@ class Stationary(Kernel):
         Xs = self._scaled(X)
         X2s = Xs if X2 is None else self._scaled(X2)
         if _linalg._pallas_active():
-            return _pg.stationary_gram(self._gram_kind, Xs, X2s, var)
+            from .ops import autotune as _autotune
+
+            if _autotune.use_pallas_gram():
+                return _pg.stationary_gram(self._gram_kind, Xs, X2s, var)
         return _pg._gram_reference(self._gram_kind, Xs, X2s, var)
+
+    def K_lower(self, X, presliced=False):
+        """Lower triangle of K(X, X), upper tiles zeroed — for consumers
+        that only read the lower triangle (``ops.linalg.cholesky``, which
+        runs with ``symmetrize_input=False``). On TPU this skips the
+        elementwise kernel map on the strictly-upper tile grid (~45% of
+        the Gram's VPU work); elsewhere it falls back to the full K.
+        """
+        from .ops import autotune as _autotune
+        from .ops import linalg as _linalg
+        from .ops import pallas_gram as _pg
+
+        if (
+            self._gram_kind is None
+            or not _linalg._pallas_active()
+            or not _autotune.use_pallas_gram_lower()
+        ):
+            return self.K(X, presliced=presliced)
+        if not presliced:
+            X, _ = self._slice(X, None)
+        var = jnp.squeeze(self.variance.value)
+        return _pg.stationary_gram_lower(self._gram_kind, self._scaled(X), var)
 
 
 class RBF(Stationary):

@@ -84,7 +84,8 @@ class GPLVM(GPModel):
     def _K_chol(self):
         X = self.X.value
         N = X.shape[0]
-        K = self.kern.K(X) + jnp.squeeze(self.likelihood.variance.value) * \
+        # K_lower: the factorization reads only the lower triangle
+        K = self.kern.K_lower(X) + jnp.squeeze(self.likelihood.variance.value) * \
             jnp.eye(N, dtype=X.dtype)
         return linalg.cholesky(K)
 

@@ -23,10 +23,13 @@ class GPR(GPModel):
         super().__init__(X, Y, kern, likelihood, mean_function, name=name)
 
     def _K_chol(self):
+        # K_lower: the factorization (symmetrize_input=False) reads only
+        # the lower triangle, so stationary kernels skip the elementwise
+        # map on the strictly-upper tile grid (ops/pallas_gram.py)
         N = self.X.shape[0]
-        K = self.kern.K(self.X) + jnp.squeeze(self.likelihood.variance.value) * jnp.eye(
-            N, dtype=self.X.dtype
-        )
+        K = self.kern.K_lower(self.X) + jnp.squeeze(
+            self.likelihood.variance.value
+        ) * jnp.eye(N, dtype=self.X.dtype)
         return linalg.cholesky(K)
 
     def build_likelihood(self):

@@ -52,6 +52,38 @@ _HYSTERESIS = 0.95
 _STATIC_CHOL_TABLE: dict = {}
 
 
+def use_pallas_gram() -> bool:
+    """Whether stationary Grams route to the fused Pallas kernel.
+
+    Measured 2026-08-20 (benchmarks/bench_chol_scan.py --gram +
+    bench_ab.py): standalone the Pallas gram TIES the XLA composite
+    (±8% across N=2048..12288), but inside the GPR objective the XLA
+    composite wins ~7% — it fuses into the neighboring noise-add /
+    consumer, while the opaque Pallas call adds a pad+slice copy at
+    non-multiple N. Ties go to XLA, so the measured default is the
+    composite; ``GFS_PALLAS_GRAM=1`` pins the fused kernel back on (it
+    remains the building block for the ring/distributed paths, which
+    pass pre-tiled shapes).
+    """
+    return os.environ.get("GFS_PALLAS_GRAM", "0") not in ("0", "false", "")
+
+
+def use_pallas_gram_lower() -> bool:
+    """Whether Cholesky-bound Grams use the lower-triangle-only Pallas
+    kernel (``pallas_gram.stationary_gram_lower``). The kernel skips the
+    d²-expansion + map on strictly-upper tiles, but measured 2026-08-20 at
+    N=10000 (scan-amortized) it does NOT pay: 4.09 ms vs 4.04 ms for the
+    full XLA composite — per-tile pipeline overhead and the output-tile
+    DMA (written for every tile either way) dominate the gram, not the
+    elementwise map. Measured default: OFF. ``GFS_PALLAS_GRAM_LOWER=1``
+    pins it on; the kernel and its K_lower plumbing stay in place for a
+    future packed-layout factorization that could skip upper-tile WRITES
+    too (the actual bottleneck).
+    """
+    return os.environ.get(
+        "GFS_PALLAS_GRAM_LOWER", "0") not in ("0", "false", "")
+
+
 def _autotune_enabled() -> bool:
     env = os.environ.get("GFS_AUTOTUNE")
     if env is not None:
@@ -155,7 +187,13 @@ def chol_choice(N, dtype):
                 file=sys.stderr,
                 flush=True,
             )
-        except Exception:  # probe failure must never take the program down
+        except Exception as e:  # probe failure must never take the program
+            print(
+                f"# gfs autotune cholesky N={N}: probe failed "
+                f"({type(e).__name__}: {e}) -> xla",
+                file=sys.stderr,
+                flush=True,
+            )
             choice = None
     _CHOICE_CACHE[key] = choice
     return choice

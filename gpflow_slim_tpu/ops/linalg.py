@@ -13,10 +13,23 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cholesky as _xla_cholesky
+from jax.lax import linalg as _lax_linalg
 from jax.scipy.linalg import solve_triangular as _xla_solve_triangular
 
 from .. import config
+
+
+def _xla_cholesky(K, lower=True):
+    # symmetrize_input=False: jax.scipy's default prepends an (K + Kᵀ)/2
+    # pass — an extra O(N²) HBM read+write per factorization. Every
+    # caller in this library constructs K symmetrically (Gram expansions,
+    # A·Aᵀ products, +diag), or passes a lower-triangle-only Gram whose
+    # upper part is deliberately unwritten — in both cases the lower
+    # triangle alone is the contract, which is exactly what the
+    # unsymmetrized Cholesky reads. (Callers with a possibly-asymmetric
+    # matrix should symmetrize explicitly before calling.)
+    assert lower, "upper Cholesky not used in this library"
+    return _lax_linalg.cholesky(K, symmetrize_input=False)
 
 
 def _pallas_active() -> bool:
@@ -58,17 +71,33 @@ def cholesky(K):
     return _xla_cholesky(K, lower=True)
 
 
+# The wide TRSM kernel holds two (bs, pc) RHS panels + two (bs, bs) L
+# tiles in VMEM, pc = padded column count. Measured 2026-08-20
+# (benchmarks/bench_trsm_scan.py): runs fine at pc=2048 (8.9 MB), fails
+# at runtime at pc=8192 (17.3 MB > the 16 MiB scoped-VMEM budget) — so
+# gate on the actual scratch footprint, with headroom for temporaries.
+_TRSM_BLOCK = 256
+_TRSM_VMEM_BUDGET = 12 * 1024 * 1024  # bytes
+
+
 def _wide_pallas_ok(T, B):
     # dtype gate: the Mosaic TRSM kernels are f32-only — under
     # jax_enable_x64 (this repo's parity mode) f64 operands must stay on
-    # the XLA path rather than fail at compile time
-    return (
+    # the XLA path rather than fail at compile time.
+    # Perf region (measured 2026-08-20, scan-amortized): Pallas wins ~11%
+    # at (M=512, N=2048) and ties at (M=2048, N=2048); XLA handles the
+    # VMEM-overflow region. Thin RHS (< 128 cols) can't fill MXU tiles.
+    if not (
         _pallas_active()
         and B.ndim == 2
         and B.shape[1] >= 128
         and T.dtype == jnp.float32
         and B.dtype == jnp.float32
-    )
+    ):
+        return False
+    pc = B.shape[1] + (-B.shape[1]) % 128
+    scratch = 4 * 2 * (_TRSM_BLOCK * _TRSM_BLOCK + _TRSM_BLOCK * pc)
+    return scratch <= _TRSM_VMEM_BUDGET
 
 
 def solve_lower(L, B):
@@ -97,12 +126,21 @@ def cho_solve_lower(L, B):
     return solve_upper(L.T, solve_lower(L, B))
 
 
-# Batched triangles up to this size fit whole in a VMEM tile (f32) —
-# larger batches fall back to vmap'd XLA substitution.
-_PALLAS_BATCHED_TRSM_MAX_M = 1024
+# Measured 2026-08-20 (benchmarks/bench_trsm_scan.py, scan-amortized):
+# the batched Pallas grid kernel never beat vmap'd XLA substitution at the
+# real gauss_kl shapes (P=4/10, M=256/512: ties within 3-10%, XLA ahead)
+# and FAILED at runtime at M=1024 (the whole-triangle VMEM tile plus the
+# Newton-inverse temporaries overflow the scoped budget) — the previous
+# M<=1024 cap was asserted, not measured. Route batched solves to XLA;
+# GFS_PALLAS_BATCHED_TRSM=1 pins the grid kernel back on (M<=512 only).
+_PALLAS_BATCHED_TRSM_MAX_M = 512
 
 
 def _batched_pallas_ok(L, B):
+    import os
+
+    if os.environ.get("GFS_PALLAS_BATCHED_TRSM", "0") in ("0", "false", ""):
+        return False
     return (
         _pallas_active()
         and L.ndim == 3

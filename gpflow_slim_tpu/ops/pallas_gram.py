@@ -144,6 +144,79 @@ def _bwd(kind, res, g):
 stationary_gram.defvjp(_fwd, _bwd)
 
 
+def _gram_lower_kernel(kind, x_ref, y_ref, var_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(i >= j)
+    def _():
+        _gram_kernel(kind, x_ref, y_ref, var_ref, out_ref)
+
+    @pl.when(i < j)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "tile", "interpret"))
+def _gram_lower_pallas(kind, Xs, variance, tile=256, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, D = Xs.shape
+    Xp = _pad_rows(Xs, tile)
+    Np = Xp.shape[0]
+    var = jnp.reshape(jnp.asarray(variance, Xs.dtype), (1, 1))
+
+    out = pl.pallas_call(
+        functools.partial(_gram_lower_kernel, kind),
+        grid=(Np // tile, Np // tile),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Np, Np), Xs.dtype),
+        interpret=interpret,
+    )(Xp, Xp, var)
+    return out[:N, :N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def stationary_gram_lower(kind, Xs, variance):
+    """Lower triangle of the symmetric Gram K(Xs, Xs); upper tiles zero.
+
+    For consumers that only read the lower triangle — Cholesky with
+    ``symmetrize_input=False`` — this skips the elementwise kernel map on
+    the upper tiles (the d² expansion and map run only where ``i ≥ j`` in
+    the tile grid). The VJP is exact for such consumers: their cotangent
+    is supported on the lower triangle, where this kernel's output equals
+    the full Gram's, so the reference composite's VJP applies unchanged
+    (upper-tile cotangents are zero and contribute nothing).
+    """
+    return _gram_lower_pallas(kind, Xs, variance)
+
+
+def _lower_fwd(kind, Xs, variance):
+    return _gram_lower_pallas(kind, Xs, variance), (Xs, variance)
+
+
+def _lower_bwd(kind, res, g):
+    Xs, variance = res
+    _, vjp = jax.vjp(
+        lambda a, v: _gram_reference(kind, a, a, v), Xs, variance
+    )
+    return vjp(g)
+
+
+stationary_gram_lower.defvjp(_lower_fwd, _lower_bwd)
+
+
 def gram_interpret_mode(kind, Xs, X2s, variance, tile=128):
     """Interpret-mode execution for CPU equivalence tests."""
     from jax.experimental import pallas as pl

@@ -30,6 +30,53 @@ def test_gram_kernel_matches_reference(kind):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+@pytest.mark.parametrize("kind", ["rbf", "matern32"])
+def test_gram_lower_matches_reference_on_lower(kind):
+    # tile-grid lower-only gram: lower triangle equals the full Gram,
+    # strictly-upper TILES are zero (within-diagonal-tile upper entries
+    # are unspecified-but-computed; consumers read lower only)
+    X = jnp.asarray(rng.randn(300, 2), jnp.float32)
+    out = pallas_gram._gram_lower_pallas(
+        kind, X, jnp.float32(1.3), tile=128, interpret=True)
+    ref = pallas_gram._gram_reference(kind, X, X, jnp.float32(1.3))
+    il = np.tril_indices(300)
+    np.testing.assert_allclose(
+        np.asarray(out)[il], np.asarray(ref)[il], atol=2e-6)
+    # strictly-upper tiles (row tile < col tile) must be zeroed
+    assert np.all(np.asarray(out)[:128, 128:] == 0.0)
+
+
+def test_gram_lower_vjp_matches_full_on_lower_cotangent():
+    # cotangents from a lower-reading consumer are supported on the lower
+    # triangle; stationary_gram_lower's registered bwd must equal the
+    # full composite's VJP there (its forward equals the full Gram on the
+    # lower triangle, so this is the exactness condition)
+    X = jnp.asarray(rng.randn(40, 2), jnp.float32)
+    var = jnp.float32(0.9)
+    g = jnp.asarray(np.tril(rng.randn(40, 40)), jnp.float32)
+
+    dX_l, dv_l = pallas_gram._lower_bwd("rbf", (X, var), g)
+
+    _, vjp = jax.vjp(
+        lambda x, v: pallas_gram._gram_reference("rbf", x, x, v), X, var)
+    dX_f, dv_f = vjp(g)
+    np.testing.assert_allclose(np.asarray(dX_l), np.asarray(dX_f),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(dv_l), float(dv_f), rtol=1e-6)
+
+
+def test_kernel_k_lower_fallback_matches_k():
+    # on CPU (pallas inactive) K_lower must be exactly K for every kernel
+    X = rng.randn(30, 2)
+    for k in (gfs.kernels.RBF(2, lengthscales=0.4),
+              gfs.kernels.Matern32(2),
+              gfs.kernels.RBF(2) + gfs.kernels.White(2),
+              gfs.kernels.Linear(2)):
+        np.testing.assert_array_equal(
+            np.asarray(k.K_lower(jnp.asarray(X))),
+            np.asarray(k.K(jnp.asarray(X))))
+
+
 def test_gram_matches_kernel_class_math():
     # the jnp composite must match kernels.RBF exactly (same formula)
     X = rng.randn(50, 2)

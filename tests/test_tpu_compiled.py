@@ -109,6 +109,25 @@ def test_pallas_gram_compiled():
 
 
 @requires_tpu
+def test_gram_lower_compiled_matches_full_on_lower():
+    # non-multiple-of-tile N exercises the padded edge; lower triangle
+    # must match the full fused gram bitwise (same tile computation)
+    from gpflow_slim_tpu.ops import pallas_gram
+
+    X = jnp.asarray(np.random.RandomState(7).rand(1000, 3), jnp.float32)
+    Xs = X / 0.4
+    K_l = jax.jit(
+        lambda x: pallas_gram.stationary_gram_lower(
+            "rbf", x, jnp.float32(0.8))
+    )(Xs)
+    K_f = jax.jit(
+        lambda x: pallas_gram.stationary_gram("rbf", x, x, jnp.float32(0.8))
+    )(Xs)
+    il = np.tril_indices(1000)
+    np.testing.assert_array_equal(np.asarray(K_l)[il], np.asarray(K_f)[il])
+
+
+@requires_tpu
 def test_gpr_objective_compiled_vs_f64_oracle():
     """One end-to-end GPR objective on the chip vs the numpy f64 oracle."""
     import gpflow_slim_tpu as gfs
