@@ -5,9 +5,13 @@ manually; results tracked in BASELINE.md.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bench_svgp(N=100_000, M=256, B=1024, steps=20):
@@ -118,15 +122,22 @@ def bench_nuts(N=1000, chains=8, samples=None, warmup=None):
     lp, x0, _ = gfs.mcmc.model_logprob(m)
     x0s = jnp.tile(x0, (chains, 1))
 
-    # window-chunked: one warmup program, then sampling in short windows
-    # (each its own device program) — a single monolithic
-    # warmup+samples program at N=1000 × 8 chains exceeds the remote
-    # worker's long-program watchdog and kills the worker
+    # everything window-chunked: warmup AND sampling run as short device
+    # programs — monolithic warmup at convergence-grade lengths (300
+    # draws × 8 chains) crashes the remote worker's long-program
+    # watchdog (observed 2026-08-20), so the Stan phases are driven from
+    # the host via nuts_warmup_window, chunked to ≤ `chunk` transitions
+    # per program, with the (da, welford, inv_mass) state riding along
     window = 32
+    chunk = 50
 
-    warm = jax.jit(jax.vmap(
-        lambda x, k: gfs.mcmc.nuts(lp, x, k, 1, num_warmup=warmup,
-                                   max_depth=8, adapt_axis="c"),
+    warm_win = jax.jit(jax.vmap(
+        lambda z, k, da, w, im: gfs.mcmc.nuts_warmup_window(
+            lp, z, k, da, w, im, max_depth=8, adapt_axis="c"),
+        axis_name="c",
+    ))
+    slow_close = jax.jit(jax.vmap(
+        lambda da, w: gfs.mcmc.nuts_slow_window_close(da, w, "c"),
         axis_name="c",
     ))
     sample_w = jax.jit(jax.vmap(
@@ -135,10 +146,26 @@ def bench_nuts(N=1000, chains=8, samples=None, warmup=None):
             max_depth=8),
     ))
 
-    keys0 = jax.random.split(jax.random.PRNGKey(0), chains)
-    s0, info0 = warm(x0s, keys0)
-    z = s0[:, -1, :]
-    eps, im = info0["step_size"], info0["inv_mass"]
+    da1, w1, im1 = gfs.mcmc.nuts_warmup_init(x0, step_size=0.1)
+    bc = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (chains,) + jnp.shape(x)), t)
+    z, da, im = x0s, bc(da1), bc(im1)
+    kidx = 0
+    for phase, span in gfs.mcmc.warmup_schedule(warmup):
+        w = bc(w1)
+        done = 0
+        while done < span:
+            n = min(chunk, span - done)
+            keys = jax.random.split(
+                jax.random.PRNGKey(1000 + kidx), chains * n
+            ).reshape(chains, n, -1)
+            kidx += 1
+            z, da, w, im = warm_win(z, keys, da, w, im)
+            done += n
+        if phase == "slow":
+            da, im = slow_close(da, w)
+    eps = jnp.exp(da.log_step_avg)
+    im = jnp.asarray(im)
     # compile the sampling window
     sw, _ = sample_w(z, jax.random.split(jax.random.PRNGKey(9), chains),
                      eps, im)

@@ -307,6 +307,88 @@ def _nuts_transition(logprob_grad_fn, z, logp, grad, key, step_size,
     )
 
 
+def _maybe_pmean(x, adapt_axis):
+    if adapt_axis is not None:
+        return jax.lax.pmean(x, adapt_axis)
+    return x
+
+
+def _make_warmup_step(logprob_grad_fn, max_depth, target_accept,
+                      adapt_mass, adapt_axis):
+    def warmup_step(carry, k):
+        z, lp, grad, da, w, inv_mass = carry
+        eps = jnp.exp(da.log_step)
+        z, lp, grad, accept_prob, diverging, _ = _nuts_transition(
+            logprob_grad_fn, z, lp, grad, k, eps, inv_mass, max_depth
+        )
+        da = da_update(da, _maybe_pmean(accept_prob, adapt_axis),
+                       target=target_accept)
+        if adapt_mass:
+            w = welford_update(w, z)
+        return (z, lp, grad, da, w, inv_mass), None
+
+    return warmup_step
+
+
+def nuts_warmup_init(x0, step_size: float = 0.1):
+    """Initial (da, welford, inv_mass) adaptation state for windowed
+    warmup (``nuts_warmup_window``). Per chain — vmap over chains."""
+    x0 = jnp.asarray(x0)
+    return (
+        da_init(jnp.asarray(step_size, x0.dtype)),
+        welford_init(x0.shape[0], x0.dtype),
+        jnp.ones((x0.shape[0],), x0.dtype),
+    )
+
+
+def nuts_warmup_window(
+    logprob_fn: Callable,
+    z,
+    keys,
+    da,
+    welford,
+    inv_mass,
+    *,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    adapt_mass: bool = True,
+    adapt_axis: str | None = None,
+):
+    """Advance NUTS warmup by ``len(keys)`` steps as its own (short,
+    jittable) program, resuming from and returning the full adaptation
+    state ``(z, da, welford, inv_mass)``.
+
+    Why this exists: a monolithic ``nuts(num_warmup=300)`` warmup at
+    convergence-grade settings is one device program of hundreds of
+    doubling-tree transitions, which the remote TPU runtime's
+    long-program watchdog kills (worker crash, observed 2026-08-20).
+    Drive the Stan windows (``warmup_schedule``) phase by phase — and
+    chunk within a phase at will, since the Welford state rides along —
+    then close each slow window with ``nuts_slow_window_close`` and
+    finish with ``eps = exp(da.log_step_avg)``. Identical math to the
+    in-``nuts`` warmup loop (same ``_make_warmup_step``); the phase
+    driver just lives on the host.
+    """
+    logprob_grad_fn = jax.value_and_grad(logprob_fn)
+    lp0, g0 = logprob_grad_fn(z)
+    step = _make_warmup_step(
+        logprob_grad_fn, max_depth, target_accept, adapt_mass, adapt_axis
+    )
+    (z, _, _, da, welford, inv_mass), _ = jax.lax.scan(
+        step, (z, lp0, g0, da, welford, inv_mass), keys
+    )
+    return z, da, welford, inv_mass
+
+
+def nuts_slow_window_close(da, welford, adapt_axis: str | None = None):
+    """End a Stan slow window: re-estimate the diagonal inverse mass from
+    the window's Welford moments (pmean-shared across ``adapt_axis`` when
+    set) and restart dual averaging from the averaged step size."""
+    inv_mass = _maybe_pmean(welford_variance(welford), adapt_axis)
+    da = da_init(jnp.exp(da.log_step_avg))
+    return da, inv_mass
+
+
 def nuts(
     logprob_fn: Callable,
     x0,
@@ -352,16 +434,9 @@ def nuts(
     inv_mass0 = (jnp.ones((dim,), dtype) if inv_mass is None
                  else jnp.asarray(inv_mass, dtype))
 
-    def warmup_step(carry, k):
-        z, lp, grad, da, w, inv_mass = carry
-        eps = jnp.exp(da.log_step)
-        z, lp, grad, accept_prob, diverging, _ = _nuts_transition(
-            logprob_grad_fn, z, lp, grad, k, eps, inv_mass, max_depth
-        )
-        da = da_update(da, maybe_pmean(accept_prob), target=target_accept)
-        if adapt_mass:
-            w = welford_update(w, z)
-        return (z, lp, grad, da, w, inv_mass), None
+    warmup_step = _make_warmup_step(
+        logprob_grad_fn, max_depth, target_accept, adapt_mass, adapt_axis
+    )
 
     keys_w = jax.random.split(key, num_warmup + 1)
     key = keys_w[0]

@@ -123,17 +123,27 @@ def _vmem_tri_inverse_newton(L):
     return X * _tril_mask(bs, L.dtype)
 
 
-# MXU pass count for every GEMM in the factorization. HIGHEST = full-f32
-# (6 bf16 passes): the trailing SYRK subtracts nearly-equal quantities, and
-# default bf16-product error (~2⁻⁹ relative) can push small pivots negative
-# when the jitter floor is 1e-4 — NaN, not just inaccuracy. Overridable for
-# experiments via _set_mm_precision.
+# MXU pass count for the small-triangle GEMMs (Newton inverses, panel
+# TRSM): HIGHEST = full-f32 (6 bf16 passes). These multiply by INVERTED
+# triangles, so their rounding is amplified by the block condition number —
+# keep them exact. Default bf16 (1 pass, ~2⁻⁹ products) is never safe here:
+# it can push small pivots negative (NaN), measured in round 1.
 _MM_PRECISION = jax.lax.Precision.HIGHEST
 
+# The trailing SYRK (A[i,j] -= L[i,k]·L[j,k]ᵀ) carries ~all of the N³/3
+# flops and has no inverse amplification, so fewer MXU passes are
+# attractive there — but Mosaic's in-kernel dot lowering supports only
+# DEFAULT and HIGHEST ("Unsupported dot precision: HIGH", measured
+# 2026-08-20), so the 3-pass tier is unavailable without a manual
+# hi/lo bf16 split (a future opt-in; its ~16-bit products would also
+# need an accuracy re-measurement against the 1e-6-class story).
+_SYRK_PRECISION = jax.lax.Precision.HIGHEST
 
-def _set_mm_precision(p):
-    global _MM_PRECISION
+
+def _set_mm_precision(p, syrk=None):
+    global _MM_PRECISION, _SYRK_PRECISION
     _MM_PRECISION = p
+    _SYRK_PRECISION = p if syrk is None else syrk
 
 
 def _mm(A, B, ta=False, tb=False):
@@ -227,7 +237,8 @@ def _make_chol_kernel(nb: int, bs: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(_, A, diag, zinv, pan, a2, b_s, c2, sem, asem, csem, wsem):
+    def kernel(_, A, diag, zinv, pan2, a2, b_s, c2,
+               sem, asem, csem, psem, pwsem, wsem):
         def blk(i, j):
             return A.at[pl.ds(i * bs, bs), pl.ds(j * bs, bs)]
 
@@ -255,23 +266,65 @@ def _make_chol_kernel(nb: int, bs: int):
             #    64×64 GEMMs is ~50% slower end-to-end at bs=512
             zinv[:] = _vmem_tri_inverse_newton(Lkk)
 
-            # 3) panel: L[i,k] = A[i,k] @ Lkk⁻ᵀ
-            def panel_body(i, _):
-                copy_in(i, k, pan)
-                pan[:] = jax.lax.dot_general(
-                    pan[:], zinv[:], (((1,), (1,)), ((), ())),
+            # 3) panel: L[i,k] = A[i,k] @ Lkk⁻ᵀ — double-buffered loads
+            #    AND async write-backs. A slot's write-back must complete
+            #    before that slot is reloaded (two iterations later); the
+            #    waits are placed just before each reload plus a drain
+            #    after the loop, so DMA in/out both overlap the MXU.
+            np_i = nb - (k + 1)
+
+            def p_load(slot, i):
+                return pltpu.make_async_copy(blk(i, k), pan2.at[slot],
+                                             psem.at[slot])
+
+            def p_write(slot, i):
+                return pltpu.make_async_copy(pan2.at[slot], blk(i, k),
+                                             pwsem.at[slot])
+
+            @pl.when(np_i > 0)
+            def _():
+                p_load(0, k + 1).start()
+
+            def panel_body(idx, _):
+                i = k + 1 + idx
+                cur = jax.lax.rem(idx, 2)
+                nxt = jax.lax.rem(idx + 1, 2)
+
+                @pl.when(idx + 1 < np_i)
+                def _():
+                    @pl.when(idx >= 1)
+                    def _():
+                        # write issued from `nxt` at idx-1 must land
+                        # before the slot is reloaded
+                        p_write(nxt, i - 1).wait()
+
+                    p_load(nxt, i + 1).start()
+
+                p_load(cur, i).wait()
+                pan2[cur] = jax.lax.dot_general(
+                    pan2[cur], zinv[:], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=_MM_PRECISION,
-                ).astype(pan.dtype)
-                copy_out(pan, i, k)
+                ).astype(pan2.dtype)
+                p_write(cur, i).start()
                 return 0
 
-            jax.lax.fori_loop(k + 1, nb, panel_body, 0)
+            jax.lax.fori_loop(0, np_i, panel_body, 0)
+
+            # drain the last (up to two) outstanding panel writes; the
+            # trailing loop reads blk(:, k) so they must be visible
+            @pl.when(np_i >= 1)
+            def _():
+                p_write(jax.lax.rem(np_i - 1, 2), nb - 1).wait()
+
+            @pl.when(np_i >= 2)
+            def _():
+                p_write(jax.lax.rem(np_i, 2), nb - 2).wait()
 
             # 4) trailing SYRK: A[i,j] -= L[i,k] @ L[j,k]ᵀ (i ≥ j > k),
-            #    double-buffered: prefetch the next (a, c) pair while the
-            #    MXU works on the current one — DMA/compute overlap is the
-            #    whole ballgame for the O(nb²) inner loop
+            #    double-buffered loads (a, c) and async write-backs: the
+            #    write of slot `s` is only awaited right before `s` is
+            #    reloaded, so the MXU never idles on the store path
             def a_dma(slot, i):
                 return pltpu.make_async_copy(blk(i, k), a2.at[slot],
                                              asem.at[slot])
@@ -284,6 +337,10 @@ def _make_chol_kernel(nb: int, bs: int):
                     return pltpu.make_async_copy(blk(i, j), c2.at[slot],
                                                  csem.at[slot])
 
+                def c_write(slot, i):
+                    return pltpu.make_async_copy(c2.at[slot], blk(i, j),
+                                                 wsem.at[slot])
+
                 # warm-up: start the first pair
                 a_dma(0, j).start()
                 c_dma(0, j).start()
@@ -295,6 +352,10 @@ def _make_chol_kernel(nb: int, bs: int):
 
                     @pl.when(idx + 1 < n_i)
                     def _():
+                        @pl.when(idx >= 1)
+                        def _():
+                            c_write(nxt, i - 1).wait()
+
                         a_dma(nxt, i + 1).start()
                         c_dma(nxt, i + 1).start()
 
@@ -305,16 +366,25 @@ def _make_chol_kernel(nb: int, bs: int):
                         - jax.lax.dot_general(
                             a2[cur], b_s[:], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=_MM_PRECISION,
+                            precision=_SYRK_PRECISION,
                         )
                     ).astype(c2.dtype)
                     c2[cur] = result
-                    wr = pltpu.make_async_copy(c2.at[cur], blk(i, j), wsem)
-                    wr.start()
-                    wr.wait()
+                    c_write(cur, i).start()
                     return 0
 
                 jax.lax.fori_loop(0, n_i, trail_i, 0)
+
+                # drain outstanding write-backs before the next j reuses
+                # the slots (and before later k-steps read these blocks)
+                @pl.when(n_i >= 1)
+                def _():
+                    c_write(jax.lax.rem(n_i - 1, 2), nb - 1).wait()
+
+                @pl.when(n_i >= 2)
+                def _():
+                    c_write(jax.lax.rem(n_i, 2), nb - 2).wait()
+
                 return 0
 
             jax.lax.fori_loop(k + 1, nb, trail_j, 0)
@@ -350,14 +420,16 @@ def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((bs, bs), K.dtype),      # diag
             pltpu.VMEM((bs, bs), K.dtype),      # zinv
-            pltpu.VMEM((bs, bs), K.dtype),      # pan
+            pltpu.VMEM((2, bs, bs), K.dtype),   # panel double buffer
             pltpu.VMEM((2, bs, bs), K.dtype),   # a double buffer
             pltpu.VMEM((bs, bs), K.dtype),      # b (panel_j, loop-invariant)
             pltpu.VMEM((2, bs, bs), K.dtype),   # c double buffer
             pltpu.SemaphoreType.DMA,            # generic
-            pltpu.SemaphoreType.DMA((2,)),      # a slots
-            pltpu.SemaphoreType.DMA((2,)),      # c slots
-            pltpu.SemaphoreType.DMA,            # write-back
+            pltpu.SemaphoreType.DMA((2,)),      # a load slots
+            pltpu.SemaphoreType.DMA((2,)),      # c load slots
+            pltpu.SemaphoreType.DMA((2,)),      # panel load slots
+            pltpu.SemaphoreType.DMA((2,)),      # panel write slots
+            pltpu.SemaphoreType.DMA((2,)),      # c write slots
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
@@ -374,15 +446,22 @@ def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False):
 
 
 def _chol_vjp_bwd(res, g):
-    # standard Cholesky VJP (Murray 2016), evaluated with XLA ops
+    # standard Cholesky VJP (Murray 2016), evaluated with XLA ops.
+    # HIGHEST matmul: at TPU-default bf16 products this gradient differed
+    # from XLA's AD by up to 0.5% (caught by the compiled-on-chip test
+    # 2026-08-20); gradients feed line searches and NUTS energies, which
+    # notice 2⁻⁹-level noise.
     L = res
     from jax.scipy.linalg import solve_triangular
 
     def phi(A):
         return jnp.tril(A) - 0.5 * jnp.diag(jnp.diag(A))
 
+    def _hmm(a, b):
+        return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
     Lbar = jnp.tril(g)
-    P = phi(L.T @ Lbar)
+    P = phi(_hmm(L.T, Lbar))
     S = solve_triangular(
         L, solve_triangular(L, P + P.T, lower=True, trans=1).T, lower=True,
         trans=1,

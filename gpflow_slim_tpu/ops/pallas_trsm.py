@@ -150,11 +150,13 @@ def _trsm_fwd(L, B, lower):
 
 def _trsm_bwd(lower, res, g):
     L, X = res
-    # adjoint: dB = L⁻ᵀ g ; dL = −tri(dB Xᵀ)
+    # adjoint: dB = L⁻ᵀ g ; dL = −tri(dB Xᵀ). HIGHEST matmul — TPU-default
+    # bf16 products put 2⁻⁹-level noise on the gradient (see the matching
+    # fix in pallas_cholesky._chol_vjp_bwd).
     gB = _trsm_pallas(L.T, g, lower=not lower)
     X2 = X if X.ndim == 2 else X[:, None]
     g2 = gB if gB.ndim == 2 else gB[:, None]
-    dL = -(g2 @ X2.T)
+    dL = -jnp.matmul(g2, X2.T, precision=jax.lax.Precision.HIGHEST)
     dL = jnp.tril(dL) if lower else jnp.triu(dL)
     return dL, gB
 
@@ -232,7 +234,8 @@ def _batched_trsm_bwd(lower, res, g):
     gB = _batched_trsm_pallas(
         jnp.swapaxes(L, 1, 2), g, lower=not lower
     )
-    dL = -jnp.einsum("pik,pjk->pij", gB, X)
+    dL = -jnp.einsum("pik,pjk->pij", gB, X,
+                     precision=jax.lax.Precision.HIGHEST)
     dL = jnp.tril(dL) if lower else jnp.triu(dL)
     return dL, gB
 

@@ -250,3 +250,39 @@ def test_nuts_checkpoint_resume_bit_identical(tmp_path):
     b = np.asarray(continue_sampling(restored))
     np.testing.assert_array_equal(a, b)
     assert np.all(np.isfinite(a))
+
+
+def test_windowed_warmup_chunking_bit_identical():
+    # nuts_warmup_window carries the full (da, welford, inv_mass) state,
+    # so splitting a window's key sequence into chunks must be EXACTLY
+    # the same computation as one call over all keys — this is what lets
+    # the benchmark drive convergence-grade warmups as short device
+    # programs (the remote worker kills monolithic ones)
+    import jax
+    import jax.numpy as jnp
+
+    def lp(x):
+        return -0.5 * jnp.sum(x**2) - 0.1 * x[0] * x[1]
+
+    x0 = jnp.asarray([0.3, -0.2])
+    da0, w0, im0 = gfs.mcmc.nuts_warmup_init(x0, step_size=0.2)
+    keys = jax.random.split(jax.random.PRNGKey(3), 12)
+
+    z_a, da_a, w_a, im_a = gfs.mcmc.nuts_warmup_window(
+        lp, x0, keys, da0, w0, im0, max_depth=6)
+
+    z_b, da_b, w_b, im_b = x0, da0, w0, im0
+    for lo, hi in ((0, 5), (5, 9), (9, 12)):
+        z_b, da_b, w_b, im_b = gfs.mcmc.nuts_warmup_window(
+            lp, z_b, keys[lo:hi], da_b, w_b, im_b, max_depth=6)
+
+    np.testing.assert_array_equal(np.asarray(z_a), np.asarray(z_b))
+    np.testing.assert_array_equal(
+        np.asarray(w_a.m2), np.asarray(w_b.m2))
+    np.testing.assert_array_equal(
+        np.asarray(da_a.log_step), np.asarray(da_b.log_step))
+
+    # closing a slow window produces a usable metric + restarted da
+    da_c, im_c = gfs.mcmc.nuts_slow_window_close(da_a, w_a)
+    assert np.all(np.isfinite(np.asarray(im_c))) and im_c.shape == (2,)
+    assert np.isfinite(float(da_c.log_step))

@@ -100,7 +100,12 @@ def test_pallas_gram_compiled():
     K_p = jax.jit(
         lambda x: pallas_gram.stationary_gram("rbf", x, x, jnp.float32(1.3))
     )(Xs)
-    sq = (jnp.sum(Xs**2, 1)[:, None] - 2 * Xs @ Xs.T
+    # oracle matmul at HIGHEST: at TPU-default bf16 products the ORACLE
+    # itself is off by ~3e-3 on the diagonal (the documented bf16-MXU
+    # cancellation hazard) — the 2026-08-20 on-chip run failed on exactly
+    # that, with the Pallas kernel being the correct side
+    sq = (jnp.sum(Xs**2, 1)[:, None]
+          - 2 * jnp.matmul(Xs, Xs.T, precision=jax.lax.Precision.HIGHEST)
           + jnp.sum(Xs**2, 1)[None, :])
     K_x = 1.3 * jnp.exp(-0.5 * jnp.maximum(sq, 0.0))
     np.testing.assert_allclose(
