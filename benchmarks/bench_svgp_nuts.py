@@ -128,8 +128,8 @@ def bench_nuts(N=1000, chains=8, samples=None, warmup=None):
     # watchdog (observed 2026-08-20), so the Stan phases are driven from
     # the host via nuts_warmup_window, chunked to ≤ `chunk` transitions
     # per program, with the (da, welford, inv_mass) state riding along
-    window = 32
-    chunk = 50
+    window = int(os.environ.get("BENCH_NUTS_WINDOW", 32))
+    chunk = int(os.environ.get("BENCH_NUTS_CHUNK", 50))
 
     warm_win = jax.jit(jax.vmap(
         lambda z, k, da, w, im: gfs.mcmc.nuts_warmup_window(
@@ -161,15 +161,19 @@ def bench_nuts(N=1000, chains=8, samples=None, warmup=None):
             ).reshape(chains, n, -1)
             kidx += 1
             z, da, w, im = warm_win(z, keys, da, w, im)
+            jax.block_until_ready(z)
             done += n
+            print(f"# warmup {phase} {done}/{span}", file=sys.stderr)
         if phase == "slow":
             da, im = slow_close(da, w)
     eps = jnp.exp(da.log_step_avg)
     im = jnp.asarray(im)
+    print("# warmup done; compiling sampling window", file=sys.stderr)
     # compile the sampling window
     sw, _ = sample_w(z, jax.random.split(jax.random.PRNGKey(9), chains),
                      eps, im)
     float(jnp.sum(sw))
+    print("# sampling window compiled", file=sys.stderr)
 
     n_windows = max(1, samples // window)
     chunks = []

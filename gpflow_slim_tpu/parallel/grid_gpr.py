@@ -190,14 +190,23 @@ def _factor_local(lo: GridLayout):
                 Ka,
             )
 
+            # Comm-optimal panel exchange (ScaLAPACK-style row-scoped
+            # broadcast): the trailing update on my (i, j) tiles needs
+            # L_ik (local in ``Lmask``) and L_jk for j ∈ my COLUMN blocks
+            # only — C_loc blocks, not the whole panel. A masked psum
+            # along the row axis delivers exactly those:
+            # O(N·bs/Pc)/step/device vs the previous full-panel
+            # all_gather's O(N·bs) — O(N²/Pc) total, the N²/√P schedule.
             Lmask = jnp.where(below, newcol, 0.0)
-            full_panel = jax.lax.all_gather(Lmask, r_ax)
-            table = full_panel.reshape(Pr, R_loc, bs, bs).reshape(
-                Pr * R_loc, bs, bs
-            )
             my_cols = c + Pc * jnp.arange(C_loc)
-            idx = jnp.mod(my_cols, Pr) * R_loc + my_cols // Pr
-            Lc = jnp.take(table, idx, axis=0)
+            src = jnp.mod(my_cols, Pr)       # owner row-rank of block j
+            slot = my_cols // Pr             # its local row-block slot
+            panel_blocks = Lmask.reshape(R_loc, bs, bs)
+            mine = jnp.equal(src, r)
+            cand = jnp.take(panel_blocks, jnp.where(mine, slot, 0), axis=0)
+            Lc = jax.lax.psum(
+                jnp.where(mine[:, None, None], cand, 0.0), r_ax
+            )                                # (C_loc, bs, bs)
             Lc_flat = Lc.reshape(C_loc * bs, bs)
             return Ka - jnp.matmul(Lmask, Lc_flat.T, precision=_HP)
 
@@ -409,12 +418,15 @@ def _grid_ata(Wp, layout: GridLayout):
 
     def local(Wl):
         r = jax.lax.axis_index(lo.r_ax)
+        c = jax.lax.axis_index(lo.c_ax)
+        # my C tile (i, j) needs W_ki for i ∈ my ROW blocks only — fetch
+        # those R_loc blocks by masked psum along the col axis
+        # (O(N·bs/Pr)/step/device) instead of all-gathering the whole
+        # (bs, N) panel; see the matching note in ``_factor_local``.
         row_blocks = r + lo.Pr * jnp.arange(lo.R_loc)
-        # element-level positions of my ROW blocks inside the device-major
-        # gathered panel: block j sits at (j mod Pc)·(C_loc·bs) + (j//Pc)·bs
-        sel = ((jnp.mod(row_blocks, lo.Pc) * lo.C_loc
-                + row_blocks // lo.Pc)[:, None] * bs
-               + jnp.arange(bs)[None, :]).reshape(-1)
+        src = jnp.mod(row_blocks, lo.Pc)   # owner col-rank of block i
+        slot = row_blocks // lo.Pc         # its local col-block slot
+        mine = jnp.equal(src, c)
 
         def step(k, C):
             rowsl = jax.lax.dynamic_slice(
@@ -422,8 +434,12 @@ def _grid_ata(Wp, layout: GridLayout):
             )
             own_r = jnp.equal(r, jnp.mod(k, lo.Pr))
             rowW = jax.lax.psum(jnp.where(own_r, rowsl, 0.0), lo.r_ax)
-            full = jax.lax.all_gather(rowW, lo.c_ax, axis=1, tiled=True)
-            Wi = jnp.take(full, sel, axis=1)  # (bs, R_loc·bs)
+            rw_blocks = rowW.reshape(bs, lo.C_loc, bs).transpose(1, 0, 2)
+            cand = jnp.take(rw_blocks, jnp.where(mine, slot, 0), axis=0)
+            Wi_b = jax.lax.psum(
+                jnp.where(mine[:, None, None], cand, 0.0), lo.c_ax
+            )                              # (R_loc, bs, bs)
+            Wi = Wi_b.transpose(1, 0, 2).reshape(bs, lo.R_loc * bs)
             return C + jnp.matmul(Wi.T, rowW, precision=_HP)
 
         C0 = jnp.zeros_like(Wl)
