@@ -54,6 +54,13 @@ def _hmc_transition(logprob_grad_fn, state: HMCState, key, epsilon,
     )
     H1 = lp1 - kinetic_energy(r1, inv_mass)
     log_accept_ratio = H1 - H0
+    # NaN-robust: an f32 posterior can return NaN at extreme proposals;
+    # the `accept` comparison below already rejects NaN, but the accept
+    # STATISTIC would carry NaN into dual averaging — treat NaN as
+    # log-ratio −inf (certain rejection), matching the NUTS leaf guard.
+    log_accept_ratio = jnp.where(
+        jnp.isnan(log_accept_ratio), -jnp.inf, log_accept_ratio
+    )
     accept_prob = jnp.minimum(1.0, jnp.exp(log_accept_ratio))
     accept = jnp.log(jax.random.uniform(k_acc, (), dtype)) < log_accept_ratio
     new_state = HMCState(

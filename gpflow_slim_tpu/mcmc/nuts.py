@@ -146,8 +146,17 @@ def _build_subtree(logprob_grad_fn, z0, r0, grad0, depth, direction,
         )
         H = lp - kinetic_energy(r, inv_mass)
         delta = H - H0  # log w_leaf
-        diverging = delta < -_MAX_DELTA_ENERGY
-        accept_prob = jnp.minimum(1.0, jnp.exp(delta))
+        # NaN-robust divergence: an f32 posterior can return NaN logp/grad
+        # at extreme hyperparameters (non-PD Cholesky); `delta < -MAX` is
+        # False for NaN, which would leak NaN into sum_accept → dual
+        # averaging → step size for the rest of warmup (observed on TPU,
+        # R̂ ~ 1e6). ~(delta >= -MAX) flags NaN as a divergence, and the
+        # leaf is excluded from the weights/statistics below.
+        diverging = jnp.logical_not(delta >= -_MAX_DELTA_ENERGY)
+        delta = jnp.where(diverging, -jnp.inf, delta)
+        accept_prob = jnp.where(
+            diverging, 0.0, jnp.minimum(1.0, jnp.exp(delta))
+        )
 
         # progressive multinomial proposal within the subtree
         key, k_acc = jax.random.split(c.key)

@@ -414,8 +414,8 @@ def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False):
 
     out = pl.pallas_call(
         _make_chol_kernel(nb, bs),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Np, Np), K.dtype),
         scratch_shapes=[
             pltpu.VMEM((bs, bs), K.dtype),      # diag

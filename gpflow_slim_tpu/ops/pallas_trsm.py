@@ -116,10 +116,10 @@ def _trsm_pallas(L, B, lower: bool = True, block_size: int = 256,
     out = pl.pallas_call(
         _make_trsm_kernel(nb, bs, pc, lower),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Np, pc), B2.dtype),
         scratch_shapes=[
             pltpu.VMEM((bs, bs), L.dtype),   # zinv

@@ -286,3 +286,46 @@ def test_windowed_warmup_chunking_bit_identical():
     da_c, im_c = gfs.mcmc.nuts_slow_window_close(da_a, w_a)
     assert np.all(np.isfinite(np.asarray(im_c))) and im_c.shape == (2,)
     assert np.isfinite(float(da_c.log_step))
+
+
+def test_nan_logprob_treated_as_divergence():
+    # An f32 posterior can return NaN logp/grad at extreme proposals
+    # (non-PD Cholesky). `delta < -MAX` is False for NaN, so without the
+    # NaN-robust guard the leaf leaked NaN into sum_accept -> dual
+    # averaging -> step size for the rest of warmup (observed on TPU:
+    # eps=NaN, frozen chains, R-hat ~ 1e6). NaN must be flagged as a
+    # divergence and excluded from the adaptation statistics.
+    import jax
+    import jax.numpy as jnp
+
+    def lp(x):
+        # standard normal inside |x0| < 2, NaN outside — a jump of ~2
+        # sigma regions, reachable by warmup's early large step sizes
+        ok = jnp.abs(x[0]) < 2.0
+        base = -0.5 * jnp.sum(x**2)
+        return jnp.where(ok, base, jnp.nan)
+
+    x0 = jnp.zeros((2,), jnp.float32)
+    da0, w0, im0 = gfs.mcmc.nuts_warmup_init(x0, step_size=1.5)
+    keys = jax.random.split(jax.random.PRNGKey(0), 60)
+    z, da, w, im = gfs.mcmc.nuts_warmup_window(
+        lp, x0, keys, da0, w0, im0, max_depth=6)
+    assert np.isfinite(float(da.log_step)), "NaN leaked into dual averaging"
+    assert np.isfinite(float(da.log_step_avg))
+    assert np.all(np.isfinite(np.asarray(z)))
+
+    # sampling with a fixed step size across the NaN wall: proposals into
+    # the wall are divergences, retained samples stay finite and inside
+    samples, info = gfs.mcmc.nuts(
+        lp, x0, jax.random.PRNGKey(1), 64, num_warmup=0,
+        step_size=0.5, max_depth=6)
+    s = np.asarray(samples)
+    assert np.all(np.isfinite(s))
+    assert np.all(np.abs(s[:, 0]) < 2.0)
+
+    # HMC: the accept statistic must also stay finite through NaN walls
+    samples_h, info_h = gfs.mcmc.hmc(
+        lp, x0, jax.random.PRNGKey(2), 32, burn=20,
+        epsilon=0.5, lmin=2, lmax=5, adapt_step_size=True)
+    assert np.all(np.isfinite(np.asarray(samples_h)))
+    assert np.isfinite(float(np.asarray(info_h["accept_rate"])))
