@@ -54,7 +54,14 @@ def _vmem_cholesky_small(a):
         col = jnp.sum(a * colsel, axis=1, keepdims=True) / pivot  # (bs, 1)
         colm = jnp.where(rcol > j, col, 0.0)
         Lcol = jnp.where(rcol == j, pivot, colm)
-        a = a - colm @ colm.T
+        # rank-1 update as a BROADCAST multiply (VPU, exact f32) — NOT a
+        # K=1 matmul: on the MXU a default-precision `colm @ colm.T`
+        # rounds products to bf16 (2⁻⁹), and 64 accumulated rank-1
+        # updates of O(1) columns put ~1e-2 error into the Schur
+        # complement — enough to push later pivots of a jittered Gram
+        # negative (NaN at N≥2048, observed on-chip 2026-08-20; the CPU
+        # interpret path is always exact-f32, which hid it).
+        a = a - colm * colm.reshape(1, -1)
         a = jnp.where(c2 == j, Lcol, a)
         return a
 
@@ -75,7 +82,9 @@ def _vmem_tri_inverse_small(L):
         Ljj = jnp.sum(L * ((r2 == j) & (c2 == j)).astype(L.dtype))
         masked = jnp.where(c1 < j, Lrow, 0.0)  # strictly-left entries
         e_j = (c1 == j).astype(L.dtype)
-        rhs = (e_j - masked @ Z) / Ljj
+        # _mm, not `@`: substitution against inverted rows amplifies
+        # default-precision bf16 products (see the rank-1 note above)
+        rhs = (e_j - _mm(masked, Z)) / Ljj
         return jnp.where(r2 == j, rhs, Z)
 
     Z0 = jnp.zeros_like(L)
@@ -148,9 +157,13 @@ def _set_mm_precision(p, syrk=None):
 
 def _mm(A, B, ta=False, tb=False):
     dims = ((1,) if not ta else (0,), (0,) if not tb else (1,))
+    # accumulate in the operand dtype: f32 on the TPU kernel path, but
+    # full f64 when these helpers run inside the x64 parity paths (the
+    # distributed XLA-level factorizations share them)
+    acc = A.dtype if A.dtype == jnp.float64 else jnp.float32
     out = jax.lax.dot_general(
         A, B, ((dims[0], dims[1]), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc,
         precision=_MM_PRECISION,
     )
     return out.astype(A.dtype)
@@ -233,12 +246,17 @@ def _vmem_tri_inverse(L):
     return _join_blocks(Z)
 
 
-def _make_chol_kernel(nb: int, bs: int):
+def _make_chol_kernel(nb: int, bs: int, syrk_split3: bool = False):
+    # syrk_split3: run the trailing SYRK as A·Bᵀ with each f32 operand
+    # split into bf16 hi+lo — 3 bf16 MXU passes (hi·hi + hi·lo + lo·hi,
+    # f32 accumulation) instead of HIGHEST's 6. Dropped lo·lo term bounds
+    # the product error at 2⁻¹⁶|a||b|; measured accuracy in
+    # PERFORMANCE.md. ~2× the dominant MXU term of the factorization.
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(_, A, diag, zinv, pan2, a2, b_s, c2,
-               sem, asem, csem, psem, pwsem, wsem):
+    def kernel(_, A, diag, zinv, pan2, a2, b2, c2,
+               sem, asem, bsem, csem, psem, pwsem, wsem):
         def blk(i, j):
             return A.at[pl.ds(i * bs, bs), pl.ds(j * bs, bs)]
 
@@ -324,13 +342,36 @@ def _make_chol_kernel(nb: int, bs: int):
             # 4) trailing SYRK: A[i,j] -= L[i,k] @ L[j,k]ᵀ (i ≥ j > k),
             #    double-buffered loads (a, c) and async write-backs: the
             #    write of slot `s` is only awaited right before `s` is
-            #    reloaded, so the MXU never idles on the store path
+            #    reloaded, so the MXU never idles on the store path.
+            #    The per-column L[j,k] block is double-buffered across j
+            #    (b2): the j+1 load is issued before column j's i-loop, so
+            #    it lands during that loop's GEMMs. Safe at any time —
+            #    the trailing phase only writes blk(i, j) with j > k,
+            #    never the k-panel being loaded.
             def a_dma(slot, i):
                 return pltpu.make_async_copy(blk(i, k), a2.at[slot],
                                              asem.at[slot])
 
+            def b_dma(slot, j):
+                return pltpu.make_async_copy(blk(j, k), b2.at[slot],
+                                             bsem.at[slot])
+
+            @pl.when(k + 1 < nb)
+            def _():
+                b_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+
             def trail_j(j, _):
-                copy_in(j, k, b_s)
+                cur_b = jax.lax.rem(j, 2)
+
+                @pl.when(j + 1 < nb)
+                def _():
+                    b_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+                b_dma(cur_b, j).wait()
+                b_s = b2[cur_b]
+                if syrk_split3:
+                    bh = b_s.astype(jnp.bfloat16)
+                    bl = (b_s - bh.astype(jnp.float32)).astype(jnp.bfloat16)
                 n_i = nb - j
 
                 def c_dma(slot, i):
@@ -361,14 +402,27 @@ def _make_chol_kernel(nb: int, bs: int):
 
                     a_dma(cur, i).wait()
                     c_dma(cur, i).wait()
-                    result = (
-                        c2[cur]
-                        - jax.lax.dot_general(
-                            a2[cur], b_s[:], (((1,), (1,)), ((), ())),
+                    if syrk_split3:
+                        a = a2[cur]
+                        ah = a.astype(jnp.bfloat16)
+                        al = (a - ah.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
+
+                        def dot_nt(x, y):
+                            return jax.lax.dot_general(
+                                x, y, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+
+                        prod = dot_nt(ah, bh) + dot_nt(ah, bl) + dot_nt(
+                            al, bh)
+                    else:
+                        prod = jax.lax.dot_general(
+                            a2[cur], b_s, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                             precision=_SYRK_PRECISION,
                         )
-                    ).astype(c2.dtype)
+                    result = (c2[cur] - prod).astype(c2.dtype)
                     c2[cur] = result
                     c_write(cur, i).start()
                     return 0
@@ -395,8 +449,10 @@ def _make_chol_kernel(nb: int, bs: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("block_size", "interpret"))
-def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "interpret", "syrk_split3"))
+def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False,
+                     syrk_split3: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -413,7 +469,7 @@ def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False):
     nb = Np // bs
 
     out = pl.pallas_call(
-        _make_chol_kernel(nb, bs),
+        _make_chol_kernel(nb, bs, syrk_split3=syrk_split3),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Np, Np), K.dtype),
@@ -422,10 +478,11 @@ def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False):
             pltpu.VMEM((bs, bs), K.dtype),      # zinv
             pltpu.VMEM((2, bs, bs), K.dtype),   # panel double buffer
             pltpu.VMEM((2, bs, bs), K.dtype),   # a double buffer
-            pltpu.VMEM((bs, bs), K.dtype),      # b (panel_j, loop-invariant)
+            pltpu.VMEM((2, bs, bs), K.dtype),   # b double buffer (per-j)
             pltpu.VMEM((2, bs, bs), K.dtype),   # c double buffer
             pltpu.SemaphoreType.DMA,            # generic
             pltpu.SemaphoreType.DMA((2,)),      # a load slots
+            pltpu.SemaphoreType.DMA((2,)),      # b load slots
             pltpu.SemaphoreType.DMA((2,)),      # c load slots
             pltpu.SemaphoreType.DMA((2,)),      # panel load slots
             pltpu.SemaphoreType.DMA((2,)),      # panel write slots
@@ -473,18 +530,24 @@ def _chol_vjp_bwd(res, g):
     return (Kbar,)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def cholesky(K, block_size: int = 256):
-    """Lower Cholesky via the Pallas blocked kernel (TPU compiled path)."""
-    return _cholesky_pallas(K, block_size=block_size)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def cholesky(K, block_size: int = 256, syrk_split3: bool = False):
+    """Lower Cholesky via the Pallas blocked kernel (TPU compiled path).
+
+    ``syrk_split3``: run the trailing SYRK as 3 bf16 MXU passes (hi/lo
+    operand split) instead of 6-pass f32-exact — ~2× the dominant MXU
+    term; see ``_split3_matmul_nt`` for the error bound.
+    """
+    return _cholesky_pallas(K, block_size=block_size,
+                            syrk_split3=syrk_split3)
 
 
-def _fwd(K, block_size):
-    L = _cholesky_pallas(K, block_size=block_size)
+def _fwd(K, block_size, syrk_split3):
+    L = _cholesky_pallas(K, block_size=block_size, syrk_split3=syrk_split3)
     return L, L
 
 
-cholesky.defvjp(_fwd, lambda bs, res, g: _chol_vjp_bwd(res, g))
+cholesky.defvjp(_fwd, lambda bs, s3, res, g: _chol_vjp_bwd(res, g))
 
 
 def cholesky_interpret(K, block_size: int = 64):

@@ -110,12 +110,13 @@ def _gram_pallas(kind, Xs, X2s, variance, tile=256):
 
 
 def _gram_reference(kind, Xs, X2s, variance):
-    """The jnp composite (matches kernels.Stationary math exactly)."""
+    """The jnp composite (matches kernels.Stationary math exactly,
+    including the HIGHEST-precision cross matmul — this is the VJP path,
+    and gradient cancellation mirrors the forward's)."""
     xs = jnp.sum(jnp.square(Xs), axis=-1)
     ys = jnp.sum(jnp.square(X2s), axis=-1)
-    d2 = jnp.maximum(
-        xs[:, None] - 2.0 * (Xs @ X2s.T) + ys[None, :], 0.0
-    )
+    cross = jnp.matmul(Xs, X2s.T, precision=jax.lax.Precision.HIGHEST)
+    d2 = jnp.maximum(xs[:, None] - 2.0 * cross + ys[None, :], 0.0)
     return _apply_map(kind, variance, d2)
 
 

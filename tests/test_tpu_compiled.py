@@ -173,3 +173,39 @@ def test_distributed_loss_single_chip_mesh():
     assert np.isfinite(float(v))
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree_util.tree_leaves(g))
+
+
+@requires_tpu
+def test_pallas_cholesky_ill_conditioned_gram():
+    """Short-lengthscale RBF Gram (rank-deficient + 1e-2 jitter): the
+    factorization must stay finite and f32-accurate ON HARDWARE.
+
+    Regression for the 2026-08-20 NaN: the leaf rank-1 update ran as a
+    K=1 MXU matmul at default precision (bf16 products); 64 accumulated
+    O(2^-9) errors pushed later Schur pivots of exactly this matrix
+    class negative. Interpret-mode tests can never catch it (CPU is
+    always exact-f32) — this must run compiled.
+    """
+    from gpflow_slim_tpu.ops import pallas_cholesky
+
+    N = 2048
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0, 1, (N, 1))
+    d = X / 0.1
+    sq = (d**2).sum(1)[:, None] - 2 * d @ d.T + (d**2).sum(1)[None, :]
+    Kd = np.exp(-0.5 * np.maximum(sq, 0)) + 1e-2 * np.eye(N)
+    Ld = np.linalg.cholesky(Kd)
+    K32 = jnp.asarray(Kd, jnp.float32)
+
+    for bs in (256, 512):
+        for s3 in (False, True):
+            L = np.asarray(
+                jax.jit(lambda K, b=bs, s=s3: pallas_cholesky.cholesky(
+                    K, b, s))(K32),
+                np.float64,
+            )
+            assert np.all(np.isfinite(L)), (bs, s3)
+            frob = (np.linalg.norm(np.tril(L) - Ld)
+                    / np.linalg.norm(Ld))
+            # f32-class: XLA's own f32 chol measures ~4e-5 here
+            assert frob < 5e-4, (bs, s3, frob)
