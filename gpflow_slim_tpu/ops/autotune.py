@@ -91,11 +91,27 @@ def _autotune_enabled() -> bool:
     return True
 
 
+def _split3_allowed() -> bool:
+    """Whether the 3-pass split-bf16 SYRK Cholesky may be probed/routed.
+
+    Opt-in (`GFS_PALLAS_CHOL_SPLIT3=1`): measured 2026-08-21 on a real
+    N=10240 Gram it beats XLA by ~8% (21.08 vs 22.82 ms), but its logdet
+    carries ~4e-5 relative error vs the 1e-6-class default accuracy
+    story (HIGHEST-Pallas: 7e-8, XLA: 1.5e-6) — a silent default switch
+    would change numerics, so the user must ask for it.
+    """
+    return os.environ.get(
+        "GFS_PALLAS_CHOL_SPLIT3", "0") not in ("0", "false", "")
+
+
 def _candidates():
     env = os.environ.get("GFS_PALLAS_CHOL_BS")
     if env:
         return None  # pin handled by caller
-    return (512, 256)
+    base = [(512, False), (256, False)]
+    if _split3_allowed():
+        base = [(512, True), (256, True)] + base
+    return tuple(base)
 
 
 def _probe_time(fn, x0, seed0):
@@ -135,38 +151,45 @@ def _measure_chol(N, dtype):
     times = {}
     times[None] = _probe_time(
         scan_chol(lambda K: jnp.linalg.cholesky(K)), K0, 11.0)
-    for bs in (512, 256):
+    for bs, s3 in _candidates() or ():
         try:
             jax.jit(
-                functools.partial(pallas_cholesky.cholesky, block_size=bs)
+                functools.partial(pallas_cholesky.cholesky,
+                                  block_size=bs, syrk_split3=s3)
             ).lower(jax.ShapeDtypeStruct((N, N), dtype)).compile()
         except Exception:  # compile rejection — candidate unavailable
             continue
-        times[bs] = _probe_time(
-            scan_chol(lambda K, b=bs: pallas_cholesky.cholesky(K, b)),
+        times[(bs, s3)] = _probe_time(
+            scan_chol(
+                lambda K, b=bs, s=s3: pallas_cholesky.cholesky(K, b, s)),
             K0, 29.0)
 
     xla_t = times[None]
-    pallas = {bs: t for bs, t in times.items() if bs is not None}
+    pallas = {c: t for c, t in times.items() if c is not None}
     if pallas:
-        best_bs = min(pallas, key=pallas.get)
-        if pallas[best_bs] < _HYSTERESIS * xla_t:
-            return best_bs, times
+        best = min(pallas, key=pallas.get)
+        if pallas[best] < _HYSTERESIS * xla_t:
+            return best, times
     return None, times
 
 
 def chol_choice(N, dtype):
-    """Pallas block size to use for an (N, N) Cholesky, or None for XLA.
+    """Routing for an (N, N) Cholesky: ``(block_size, syrk_split3)`` for
+    the Pallas kernel, or None for XLA.
 
     Callers have already applied the cheap static gates (TPU backend, f32,
     N above the minimum) — this resolves pin → cache → probe → table.
+    Env pin: ``GFS_PALLAS_CHOL_BS=0`` forces XLA, ``512`` that block
+    size, ``512s3`` the 3-pass split-bf16 SYRK variant.
     """
     env = os.environ.get("GFS_PALLAS_CHOL_BS")
     if env:
-        bs = int(env)
-        return None if bs == 0 else bs
+        s3 = env.endswith("s3")
+        bs = int(env[:-2] if s3 else env)
+        return None if bs == 0 else (bs, s3)
 
-    key = (jax.default_backend(), int(N), jnp.dtype(dtype).name)
+    key = (jax.default_backend(), int(N), jnp.dtype(dtype).name,
+           _split3_allowed())
     if key in _CHOICE_CACHE:
         return _CHOICE_CACHE[key]
 
@@ -174,16 +197,26 @@ def chol_choice(N, dtype):
         choice = _STATIC_CHOL_TABLE.get(int(N))
     else:
         try:
-            choice, times = _measure_chol(int(N), dtype)
+            # the first cholesky call almost always happens INSIDE an
+            # outer jit trace (objective tracing); without this guard
+            # every jnp op in the probe would be staged into that trace
+            # as tracers and the probe would fail -> silent XLA routing
+            with jax.ensure_compile_time_eval():
+                choice, times = _measure_chol(int(N), dtype)
+
+            def _nm(k):
+                if k is None:
+                    return "xla"
+                bs, s3 = k
+                return f"pallas{bs}" + ("s3" if s3 else "")
+
             summary = {
-                ("xla" if k is None else f"pallas{k}"):
-                    round(v * 1e3 / _PROBE_REPS, 2)
+                _nm(k): round(v * 1e3 / _PROBE_REPS, 2)
                 for k, v in times.items()
             }
             print(
                 f"# gfs autotune cholesky N={N} {jnp.dtype(dtype).name}: "
-                f"{summary} ms/op -> "
-                f"{'xla' if choice is None else f'pallas bs={choice}'}",
+                f"{summary} ms/op -> {_nm(choice)}",
                 file=sys.stderr,
                 flush=True,
             )

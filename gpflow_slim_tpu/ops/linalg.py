@@ -65,9 +65,10 @@ def cholesky(K):
     ):
         from . import autotune, pallas_cholesky
 
-        bs = autotune.chol_choice(K.shape[0], K.dtype)
-        if bs is not None:
-            return pallas_cholesky.cholesky(K, bs)
+        choice = autotune.chol_choice(K.shape[0], K.dtype)
+        if choice is not None:
+            bs, syrk_split3 = choice
+            return pallas_cholesky.cholesky(K, bs, syrk_split3)
     return _xla_cholesky(K, lower=True)
 
 
