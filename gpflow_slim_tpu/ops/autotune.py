@@ -114,13 +114,42 @@ def _candidates():
     return tuple(base)
 
 
+def _run_outside_trace(fn, *args):
+    """Run ``fn(*args)`` in a worker thread: trace state is thread-local,
+    so device work executes eagerly even when the caller sits inside an
+    active jit trace."""
+    import threading
+
+    out: dict = {}
+
+    def run():
+        try:
+            out["v"] = fn(*args)
+        except BaseException as e:  # re-raised in the caller
+            out["e"] = e
+
+    t = threading.Thread(target=run)
+    t.start()
+    t.join()
+    if "e" in out:
+        raise out["e"]
+    return out["v"]
+
+
 def _probe_time(fn, x0, seed0):
-    """min-of-_PROBE_CALLS seconds for one scan-amortized execution."""
-    fn(x0, jnp.float32(seed0)).block_until_ready()  # compile + warm
+    """min-of-_PROBE_CALLS seconds for one scan-amortized execution.
+
+    Completion is forced with ``float()`` (a device_get), NOT
+    ``block_until_ready`` — on the remote-tunnel runtime the latter can
+    return before execution finishes (measured: 0.06 "ms" for an N=4096
+    factorization), which would make every probe a dispatch-latency
+    coin flip.
+    """
+    float(fn(x0, jnp.float32(seed0)))  # compile + warm
     best = float("inf")
     for t in range(_PROBE_CALLS):
         t0 = time.perf_counter()
-        fn(x0, jnp.float32(seed0 + 3.0 * (t + 1))).block_until_ready()
+        float(fn(x0, jnp.float32(seed0 + 3.0 * (t + 1))))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -198,11 +227,15 @@ def chol_choice(N, dtype):
     else:
         try:
             # the first cholesky call almost always happens INSIDE an
-            # outer jit trace (objective tracing); without this guard
-            # every jnp op in the probe would be staged into that trace
-            # as tracers and the probe would fail -> silent XLA routing
-            with jax.ensure_compile_time_eval():
-                choice, times = _measure_chol(int(N), dtype)
+            # outer jit trace (objective tracing): jnp ops here would be
+            # staged into that trace as tracers (probe dies), and
+            # jax.ensure_compile_time_eval constant-folds the probe's
+            # N×N operand into the compile request (HTTP 413 from the
+            # remote compiler, observed 2026-08-21). JAX trace state is
+            # thread-local, so a worker thread runs the probe eagerly
+            # with ordinary argument-passing compiles.
+            choice, times = _run_outside_trace(
+                _measure_chol, int(N), dtype)
 
             def _nm(k):
                 if k is None:
