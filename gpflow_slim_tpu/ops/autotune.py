@@ -35,7 +35,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-# (backend, N, dtype-name) -> block size int, or None for XLA
+# (backend, N, dtype-name, split3-allowed) -> (block_size, syrk_split3)
+# tuple for the Pallas kernel, or None for XLA
 _CHOICE_CACHE: dict = {}
 
 _PROBE_REPS = 4
@@ -48,7 +49,8 @@ _HYSTERESIS = 0.95
 # amortized fresh-seed timing (benchmarks/bench_chol_scan.py; table in
 # docs/PERFORMANCE.md). XLA won at every N in {2048..12288} that session,
 # so the no-probe default is XLA everywhere; the kernels stay reachable
-# via the env pin and the probe.
+# via the env pin and the probe. Entries, if ever added, map
+# N -> (block_size, syrk_split3) — the same tuple shape the cache holds.
 _STATIC_CHOL_TABLE: dict = {}
 
 
@@ -213,9 +215,20 @@ def chol_choice(N, dtype):
     """
     env = os.environ.get("GFS_PALLAS_CHOL_BS")
     if env:
-        s3 = env.endswith("s3")
-        bs = int(env[:-2] if s3 else env)
-        return None if bs == 0 else (bs, s3)
+        try:
+            s3 = env.endswith("s3")
+            bs = int(env[:-2] if s3 else env)
+        except ValueError:
+            # a typo in the pin must not take down the computation —
+            # fall through to the probe/cache path below
+            print(
+                f"# gfs: unparseable GFS_PALLAS_CHOL_BS={env!r} "
+                "(want e.g. 0, 512, 512s3) — ignoring the pin",
+                file=sys.stderr,
+                flush=True,
+            )
+        else:
+            return None if bs == 0 else (bs, s3)
 
     key = (jax.default_backend(), int(N), jnp.dtype(dtype).name,
            _split3_allowed())

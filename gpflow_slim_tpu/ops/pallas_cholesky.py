@@ -143,9 +143,11 @@ _MM_PRECISION = jax.lax.Precision.HIGHEST
 # flops and has no inverse amplification, so fewer MXU passes are
 # attractive there — but Mosaic's in-kernel dot lowering supports only
 # DEFAULT and HIGHEST ("Unsupported dot precision: HIGH", measured
-# 2026-08-20), so the 3-pass tier is unavailable without a manual
-# hi/lo bf16 split (a future opt-in; its ~16-bit products would also
-# need an accuracy re-measurement against the 1e-6-class story).
+# 2026-08-20). The manual hi/lo bf16 split IS implemented as the
+# ``syrk_split3`` kernel variant (3 passes; ~16-bit products): measured
+# accuracy/speed table in docs/PERFORMANCE.md — probed when
+# GFS_PALLAS_CHOL_SPLIT3=1, since its logdet error class differs from
+# the HIGHEST default.
 _SYRK_PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -345,9 +347,11 @@ def _make_chol_kernel(nb: int, bs: int, syrk_split3: bool = False):
             #    reloaded, so the MXU never idles on the store path.
             #    The per-column L[j,k] block is double-buffered across j
             #    (b2): the j+1 load is issued before column j's i-loop, so
-            #    it lands during that loop's GEMMs. Safe at any time —
-            #    the trailing phase only writes blk(i, j) with j > k,
-            #    never the k-panel being loaded.
+            #    it lands during that loop's GEMMs. The b_dma prefetch
+            #    reads blk(j, k) written by the panel phase above, so it
+            #    must stay AFTER the panel-write drain — only then is it
+            #    safe at any point in the trailing phase (which writes
+            #    blk(i, j) with j > k, never column k).
             def a_dma(slot, i):
                 return pltpu.make_async_copy(blk(i, k), a2.at[slot],
                                              asem.at[slot])
@@ -536,7 +540,9 @@ def cholesky(K, block_size: int = 256, syrk_split3: bool = False):
 
     ``syrk_split3``: run the trailing SYRK as 3 bf16 MXU passes (hi/lo
     operand split) instead of 6-pass f32-exact — ~2× the dominant MXU
-    term; see ``_split3_matmul_nt`` for the error bound.
+    term; the error bound is documented at the ``syrk_split3`` branch in
+    ``_make_chol_kernel`` and the measured accuracy table lives in
+    docs/PERFORMANCE.md.
     """
     return _cholesky_pallas(K, block_size=block_size,
                             syrk_split3=syrk_split3)

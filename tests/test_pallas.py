@@ -238,3 +238,18 @@ def test_linalg_batched_routing_cpu():
         np.linalg.solve(l @ l.T, b) for l, b in zip(Ls, Bs)
     ])
     np.testing.assert_allclose(out, ref, rtol=1e-8, atol=1e-8)
+
+
+def test_autotune_env_pin_parsing(monkeypatch):
+    from gpflow_slim_tpu.ops import autotune
+    monkeypatch.setenv("GFS_PALLAS_CHOL_BS", "512s3")
+    assert autotune.chol_choice(4096, jnp.float32) == (512, True)
+    monkeypatch.setenv("GFS_PALLAS_CHOL_BS", "256")
+    assert autotune.chol_choice(4096, jnp.float32) == (256, False)
+    monkeypatch.setenv("GFS_PALLAS_CHOL_BS", "0")
+    assert autotune.chol_choice(4096, jnp.float32) is None
+    # a malformed pin must fall through (to the static table on CPU with
+    # GFS_AUTOTUNE=0 -> XLA), not raise
+    monkeypatch.setenv("GFS_PALLAS_CHOL_BS", "s3")
+    monkeypatch.setenv("GFS_AUTOTUNE", "0")
+    assert autotune.chol_choice(4096, jnp.float32) is None
