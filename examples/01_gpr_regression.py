@@ -6,6 +6,10 @@ Run: python examples/01_gpr_regression.py
 
 import numpy as np
 
+import os
+
+FAST = os.environ.get("GFS_EXAMPLE_FAST") == "1"  # tiny sizes for tests/test_examples.py smoke runs
+
 import gpflow_slim_tpu as gfs
 
 rng = np.random.RandomState(42)
@@ -16,7 +20,7 @@ kernel = gfs.kernels.RBF(1, lengthscales=0.1) + gfs.kernels.White(1, variance=1e
 m = gfs.models.GPR(X, Y, kern=kernel)
 print("initial -log p(Y):", float(m.objective()))
 
-m, losses = gfs.training.fit(m, num_steps=1000, learning_rate=0.05)
+m, losses = gfs.training.fit(m, num_steps=10 if FAST else 1000, learning_rate=0.05)
 print("final   -log p(Y):", float(m.objective()))
 
 Xt = np.linspace(0, 1, 100)[:, None]

@@ -7,10 +7,14 @@ Run: python examples/02_svgp_classification.py
 import jax
 import numpy as np
 
+import os
+
+FAST = os.environ.get("GFS_EXAMPLE_FAST") == "1"  # tiny sizes for tests/test_examples.py smoke runs
+
 import gpflow_slim_tpu as gfs
 
 rng = np.random.RandomState(0)
-N = 2000
+N = 200 if FAST else 2000
 X = rng.uniform(0, 1, (N, 1))
 Y = (np.sin(10 * X) > 0).astype(float)
 
@@ -22,8 +26,8 @@ m = gfs.models.SVGP(
 )
 
 m, losses = gfs.training.fit_svgp_natgrad(
-    m, num_steps=300, key=jax.random.PRNGKey(0),
-    gamma=0.2, learning_rate=0.05, batch_size=256,
+    m, num_steps=5 if FAST else 300, key=jax.random.PRNGKey(0),
+    gamma=0.2, learning_rate=0.05, batch_size=64 if FAST else 256,
 )
 
 p, _ = m.predict_y(X)

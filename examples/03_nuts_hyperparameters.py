@@ -8,6 +8,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import os
+
+FAST = os.environ.get("GFS_EXAMPLE_FAST") == "1"  # tiny sizes for tests/test_examples.py smoke runs
+
 import gpflow_slim_tpu as gfs
 
 rng = np.random.RandomState(0)
@@ -28,10 +32,11 @@ m.likelihood.variance = gfs.params.Param(
 
 logprob, x0, unpack = gfs.mcmc.model_logprob(m)
 
-C = 4  # scale up freely on real hardware
+C = 2 if FAST else 4  # scale up freely on real hardware
 samples, info = gfs.parallel.sample_chains(
     logprob, jnp.tile(x0, (C, 1)), jax.random.PRNGKey(0),
-    num_samples=300, sampler="nuts", num_warmup=200,
+    num_samples=8 if FAST else 300, sampler="nuts",
+    num_warmup=8 if FAST else 200,
 )
 s = np.asarray(samples)
 print("chains:", s.shape)

@@ -9,6 +9,10 @@ Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 import jax
 import numpy as np
 
+import os
+
+FAST = os.environ.get("GFS_EXAMPLE_FAST") == "1"  # tiny sizes for tests/test_examples.py smoke runs
+
 import gpflow_slim_tpu as gfs
 from gpflow_slim_tpu import parallel
 
@@ -17,13 +21,13 @@ mesh = parallel.make_mesh({"rows": n_dev})
 print(f"mesh: {n_dev} devices on axis 'rows'")
 
 rng = np.random.RandomState(0)
-N = 1024  # scale to 50k+ on real hardware
+N = 512 if FAST else 1024  # scale to 50k+ on real hardware
 X = rng.uniform(0, 1, (N, 1)).astype(np.float32)
 Y = (np.sin(12 * X) + 0.1 * rng.randn(N, 1)).astype(np.float32)
 
 m = gfs.models.GPR(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.1))
 loss_fn = parallel.make_distributed_gpr_loss(m, mesh, axis="rows",
-                                             block_size=128)
+                                             block_size=64 if FAST else 128)
 
 value_and_grad = jax.jit(jax.value_and_grad(loss_fn))
 loss, grads = value_and_grad(m)

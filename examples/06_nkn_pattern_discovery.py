@@ -7,6 +7,10 @@ Run: python examples/06_nkn_pattern_discovery.py
 
 import numpy as np
 
+import os
+
+FAST = os.environ.get("GFS_EXAMPLE_FAST") == "1"  # tiny sizes for tests/test_examples.py smoke runs
+
 import gpflow_slim_tpu as gfs
 from gpflow_slim_tpu.kernels_nkn import NKN, NKNLinear, NKNProduct
 
@@ -27,7 +31,7 @@ kern = NKN(1, primitives, [
 ])
 
 m = gfs.models.GPR(X, Y, kern=kern)
-m, _ = gfs.training.fit(m, num_steps=400, learning_rate=0.03)
+m, _ = gfs.training.fit(m, num_steps=10 if FAST else 400, learning_rate=0.03)
 
 mu, _ = m.predict_f(X)
 rmse = float(np.sqrt(np.mean((np.asarray(mu) - Y) ** 2)))

@@ -11,6 +11,10 @@ Run: python examples/08_gplvm_latent_discovery.py
 
 import numpy as np
 
+import os
+
+FAST = os.environ.get("GFS_EXAMPLE_FAST") == "1"  # tiny sizes for tests/test_examples.py smoke runs
+
 import gpflow_slim_tpu as gfs
 
 rng = np.random.RandomState(0)
@@ -23,7 +27,7 @@ Y = np.tanh(X_true @ W) + 0.05 * rng.randn(N, P)
 
 # --- MAP GPLVM --------------------------------------------------------------
 m = gfs.models.GPLVM(Y, latent_dim=Q)
-m, losses = gfs.training.fit(m, num_steps=800, learning_rate=0.01)
+m, losses = gfs.training.fit(m, num_steps=10 if FAST else 800, learning_rate=0.01)
 X_map = np.asarray(m.X.value, dtype=np.float64)
 
 # latent recovery quality: best linear alignment to the true latents
@@ -37,7 +41,7 @@ mb = gfs.models.BayesianGPLVM(
     X0, np.full((N, Q), 0.1), Y, gfs.kernels.RBF(Q, ARD=True), M=16
 )
 # lr 0.005: inducing points chasing moving latents need gentler steps (f32)
-mb, losses_b = gfs.training.fit(mb, num_steps=800, learning_rate=0.005)
+mb, losses_b = gfs.training.fit(mb, num_steps=10 if FAST else 800, learning_rate=0.005)
 Xb = np.asarray(mb.X_mean.value, dtype=np.float64)
 Ab = np.linalg.pinv(Xb) @ X_true
 r2b = 1 - np.sum((Xb @ Ab - X_true) ** 2) / np.sum(X_true**2)

@@ -11,6 +11,10 @@ Run: python examples/09_grouped_data_switched.py
 
 import numpy as np
 
+import os
+
+FAST = os.environ.get("GFS_EXAMPLE_FAST") == "1"  # tiny sizes for tests/test_examples.py smoke runs
+
 import gpflow_slim_tpu as gfs
 from gpflow_slim_tpu.likelihoods import Gaussian, SwitchedLikelihood
 from gpflow_slim_tpu.mean_functions import Constant, SwitchedMeanFunction
@@ -36,7 +40,7 @@ kern = gfs.kernels.RBF(1, active_dims=[0], lengthscales=0.2)
 m = gfs.models.VGP(X, Y, kern=kern, likelihood=lik, mean_function=mean,
                    num_latent=1)
 
-m, losses = gfs.training.fit(m, num_steps=1500, learning_rate=0.02)
+m, losses = gfs.training.fit(m, num_steps=10 if FAST else 1500, learning_rate=0.02)
 
 s0 = float(np.squeeze(np.asarray(m.likelihood.likelihood_list[0].variance.value)))
 s1 = float(np.squeeze(np.asarray(m.likelihood.likelihood_list[1].variance.value)))

@@ -12,6 +12,10 @@ Run: python examples/10_coregion_multioutput.py
 
 import numpy as np
 
+import os
+
+FAST = os.environ.get("GFS_EXAMPLE_FAST") == "1"  # tiny sizes for tests/test_examples.py smoke runs
+
 import gpflow_slim_tpu as gfs
 from gpflow_slim_tpu.likelihoods import Gaussian, SwitchedLikelihood
 
@@ -37,7 +41,7 @@ kern = k_input * k_task
 lik = SwitchedLikelihood([Gaussian(name="t0"), Gaussian(name="t1")])
 
 m = gfs.models.VGP(X_aug, Y_aug, kern=kern, likelihood=lik, num_latent=1)
-m, losses = gfs.training.fit(m, num_steps=1500, learning_rate=0.02)
+m, losses = gfs.training.fit(m, num_steps=10 if FAST else 1500, learning_rate=0.02)
 
 B = np.asarray(m.kern.kernels[1]._B()) if hasattr(m.kern, "kernels") else None
 # task correlation implied by the learned coregionalization matrix
