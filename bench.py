@@ -1,9 +1,17 @@
 """Benchmark: exact-GPR marginal-likelihood evals/sec at N=10k (BASELINE #1).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` compares against the reference math re-run as a numpy/scipy
-f64 oracle on CPU (the reference publishes no numbers — BASELINE.md), i.e.
-value / oracle_evals_per_sec.
+Prints the headline JSON line LAST:
+{"metric", "value", "unit", "vs_baseline", ...}. ``vs_baseline`` compares
+against the reference math re-run as a numpy/scipy f64 oracle on CPU (the
+reference publishes no numbers — BASELINE.md; order-of-magnitude only, see
+the caveat there), i.e. value / oracle_evals_per_sec.
+
+Driver metrics #2 and #3 (SVGP natgrad iters/s, NUTS ESS/s) are
+RE-MEASURED each round (VERDICT r4 #4 — a silent regression in either
+went unnoticed for two rounds when they were only cited): each prints its
+own JSON line first, and the values are duplicated as keys of the
+headline line so a single-line consumer still sees all three.
+``BENCH_SECONDARY=0`` skips them (fast headline-only run).
 
 Runs on whatever the default JAX backend is (the driver provides the real
 TPU chip). f32 on TPU; the parity story is covered by the f64 CPU tests.
@@ -201,6 +209,31 @@ def main():
         reps=3 if N >= 10_000 else 5,
     )
 
+    # driver metrics #2/#3, re-measured every round (their own JSON lines
+    # print first; headline line stays LAST for single-line consumers).
+    # A secondary-bench flake must not lose the headline metric.
+    extra = {}
+    if os.environ.get("BENCH_SECONDARY", "1") == "1":
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        import bench_svgp_nuts
+
+        try:
+            ng = bench_svgp_nuts.bench_svgp_natgrad(
+                steps=int(os.environ.get("BENCH_NATGRAD_STEPS", 200)))
+            extra["svgp_natgrad_iters_per_sec"] = ng["value"]
+        except Exception as e:  # pragma: no cover - env flake path
+            print(f"# natgrad bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        try:
+            nu = bench_svgp_nuts.bench_nuts()
+            extra["nuts_ess_per_sec"] = nu["value"]
+            extra["nuts_min_ess"] = nu["min_ess"]
+            extra["nuts_rhat_max"] = nu["rhat_max"]
+        except Exception as e:  # pragma: no cover - env flake path
+            print(f"# nuts bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": f"gpr_marglik_evals_per_sec_n{N}",
         "value": round(evals_per_sec, 3),
@@ -208,6 +241,7 @@ def main():
         "vs_baseline": round(evals_per_sec / base, 2),
         "evals_per_sec_use_pallas_false": round(rates[False], 3),
         "oracle_evals_per_sec": round(base, 4),
+        **extra,
     }))
 
 

@@ -36,19 +36,41 @@ def main():
         logdet_d = 2.0 * np.log(np.diag(Ld)).sum()
         K32 = jnp.asarray(Kd, jnp.float32)
 
+        def make(name):
+            if name == "xla":
+                return jax.jit(jnp.linalg.cholesky)
+            import re
+
+            m = re.fullmatch(r"p(\d+)(hi|s3d|s4d|s3|s4)?", name)
+            bs, mode = int(m.group(1)), m.group(2) or "hi"
+            return jax.jit(
+                lambda K: pallas_cholesky.cholesky(K, bs, mode))
+
         impls = {
-            "xla": jax.jit(jnp.linalg.cholesky),
-            "pallas512": jax.jit(
-                lambda K: pallas_cholesky.cholesky(K, 512)),
-            "pallas512s3": jax.jit(
-                lambda K: pallas_cholesky.cholesky(K, 512, True)),
+            name: make(name)
+            for name in os.environ.get(
+                "BENCH_IMPLS", "xla,p512,p512s3").split(",")
         }
+
+        # residual denominator once (on device — the tunnel hangs on
+        # multi-hundred-MB device->host pulls, so accuracy is measured
+        # from the pulled DIAGONAL (40 KB) + a device-side reconstruction
+        # residual, never by pulling the whole factor)
+        @jax.jit
+        def recon_rel(L, K):
+            Lt = jnp.tril(L)
+            R = jax.lax.dot_general(
+                Lt, Lt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) - K
+            return jnp.linalg.norm(R) / jnp.linalg.norm(K)
 
         for name, impl in impls.items():
             # accuracy on the real Gram
-            L = np.asarray(impl(K32), np.float64)
-            logdet = 2.0 * np.log(np.diag(L)).sum()
-            frob = np.linalg.norm(np.tril(L) - Ld) / np.linalg.norm(Ld)
+            L = impl(K32)
+            diag = np.asarray(jnp.diagonal(L), np.float64)
+            logdet = 2.0 * np.log(diag).sum()
+            frob = float(recon_rel(L, K32))  # ‖LLᵀ−K‖/‖K‖ (f32 device)
             ld_rel = abs(logdet - logdet_d) / abs(logdet_d)
 
             # scan-amortized fresh-seed timing
@@ -74,9 +96,9 @@ def main():
             print(json.dumps({
                 "impl": name, "N": N, "ms": round(ms, 2),
                 "tf_s": round(tfs, 2),
-                "L_frob_rel": float(f"{frob:.3e}"),
+                "recon_rel": float(f"{frob:.3e}"),
                 "logdet_rel": float(f"{ld_rel:.3e}"),
-            }))
+            }), flush=True)
 
 
 if __name__ == "__main__":

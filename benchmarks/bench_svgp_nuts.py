@@ -85,10 +85,12 @@ def bench_svgp_natgrad(N=100_000, M=256, B=1024, steps=20):
         m, steps, jax.random.PRNGKey(1), gamma=0.1, batch_size=B)
     float(losses[-1])
     dt = _t.perf_counter() - t0
-    print(json.dumps({
+    out = {
         "metric": f"svgp_natgrad_iters_per_sec_N{N}_M{M}_B{B}",
         "value": round(steps / dt, 2), "unit": "iters/s",
-    }))
+    }
+    print(json.dumps(out), flush=True)
+    return out
 
 
 def bench_nuts(N=1000, chains=8, samples=None, warmup=None):
@@ -186,14 +188,16 @@ def bench_nuts(N=1000, chains=8, samples=None, warmup=None):
     dt = time.perf_counter() - t0
     s = np.concatenate(chunks, axis=1)  # (chains, samples, dim)
     ess = gfs.mcmc.effective_sample_size(np.asarray(s))
-    print(json.dumps({
+    out = {
         "metric": f"nuts_ess_per_sec_gpr_n{N}_c{chains}",
         "value": round(float(np.min(ess)) / dt, 3), "unit": "ESS/s",
         "total_time_s": round(dt, 1),
         "min_ess": round(float(np.min(ess)), 1),
         "rhat_max": round(float(np.max(
             gfs.mcmc.potential_scale_reduction(np.asarray(s)))), 4),
-    }))
+    }
+    print(json.dumps(out), flush=True)
+    return out
 
 
 if __name__ == "__main__":

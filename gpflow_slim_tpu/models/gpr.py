@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .. import config, densities
 from ..likelihoods import Gaussian
 from ..ops import linalg
 from .model import GPModel
@@ -33,10 +32,25 @@ class GPR(GPModel):
         return linalg.cholesky(K)
 
     def build_likelihood(self):
-        """log p(Y | θ) = MVN(Y; m(X), K + σ²I), summed over output columns."""
-        L = self._K_chol()
-        m = self.mean_function(self.X)
-        return densities.multivariate_normal(self.Y, m, L)
+        """log p(Y | θ) = MVN(Y; m(X), K + σ²I), summed over output columns.
+
+        Routed through ``ops.linalg.chol_logdet_quad`` — the fused
+        logdet+quadratic pipeline that lets the Pallas factorization skip
+        the N² mask/slice passes (same math as
+        ``densities.multivariate_normal``; SURVEY App. A).
+        """
+        N = self.X.shape[0]
+        K = self.kern.K_lower(self.X) + jnp.squeeze(
+            self.likelihood.variance.value
+        ) * jnp.eye(N, dtype=self.X.dtype)
+        d = self.Y - self.mean_function(self.X)
+        half_logdet, quad = linalg.chol_logdet_quad(K, d)
+        num_col = d.shape[1] if d.ndim > 1 else 1
+        return (
+            -0.5 * N * num_col * jnp.log(2.0 * jnp.pi)
+            - num_col * half_logdet
+            - 0.5 * quad
+        )
 
     def posterior(self):
         """Precompute (L, α) once for O(N·N*) serving predictions."""

@@ -35,7 +35,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-# (backend, N, dtype-name, split3-allowed) -> (block_size, syrk_split3)
+# (backend, N, dtype-name, allowed-split-modes) -> (block_size, syrk_mode)
 # tuple for the Pallas kernel, or None for XLA
 _CHOICE_CACHE: dict = {}
 
@@ -50,7 +50,7 @@ _HYSTERESIS = 0.95
 # docs/PERFORMANCE.md). XLA won at every N in {2048..12288} that session,
 # so the no-probe default is XLA everywhere; the kernels stay reachable
 # via the env pin and the probe. Entries, if ever added, map
-# N -> (block_size, syrk_split3) — the same tuple shape the cache holds.
+# N -> (block_size, syrk_mode) — the same tuple shape the cache holds.
 _STATIC_CHOL_TABLE: dict = {}
 
 
@@ -93,26 +93,43 @@ def _autotune_enabled() -> bool:
     return True
 
 
-def _split3_allowed() -> bool:
-    """Whether the 3-pass split-bf16 SYRK Cholesky may be probed/routed.
+def _split_modes() -> tuple:
+    """Extra split-bf16 SYRK modes the probe may consider (see
+    pallas_cholesky._make_chol_kernel for the mode glossary).
 
-    Opt-in (`GFS_PALLAS_CHOL_SPLIT3=1`): measured 2026-08-21 on a real
-    N=10240 Gram it beats XLA by ~8% (21.08 vs 22.82 ms), but its logdet
-    carries ~4e-5 relative error vs the 1e-6-class default accuracy
-    story (HIGHEST-Pallas: 7e-8, XLA: 1.5e-6) — a silent default switch
-    would change numerics, so the user must ask for it.
+    The 3-pass split ("s3", logdet ~4e-5 rel err) stays opt-in via
+    ``GFS_PALLAS_CHOL_SPLIT3=1`` or ``GFS_PALLAS_CHOL_SPLIT=s3,...`` —
+    a silent switch to it would change numerics. Which (if any) split
+    modes sit in the DEFAULT candidate list is an accuracy-measured
+    decision recorded in docs/PERFORMANCE.md.
     """
-    return os.environ.get(
-        "GFS_PALLAS_CHOL_SPLIT3", "0") not in ("0", "false", "")
+    env = os.environ.get("GFS_PALLAS_CHOL_SPLIT")
+    modes = []
+    if env:
+        modes += [m.strip() for m in env.split(",") if m.strip()]
+    if os.environ.get("GFS_PALLAS_CHOL_SPLIT3", "0") not in (
+            "0", "false", ""):
+        modes.append("s3")
+    return tuple(dict.fromkeys(modes))  # de-dup, keep order
+
+
+# Default probe candidates. "s4" (4-pass split-bf16 SYRK) is in the
+# DEFAULT set because it is measurably *more* accurate than XLA's own f32
+# Cholesky at the stress shape — real short-lengthscale RBF Gram,
+# N=10240, 2026-08-21: logdet rel err 6.9e-7 (s4) vs 1.5e-6 (XLA) vs
+# 1.2e-7 (6-pass "hi"), while running ~12% faster than XLA (20.4 vs
+# 23.1 ms) — so routing to it keeps the 1e-6-class accuracy story AND
+# wins the probe. The 3-pass "s3" (4e-5 logdet) stays opt-in.
+_DEFAULT_SYRK_MODES = ("s4", "hi")
 
 
 def _candidates():
     env = os.environ.get("GFS_PALLAS_CHOL_BS")
     if env:
         return None  # pin handled by caller
-    base = [(512, False), (256, False)]
-    if _split3_allowed():
-        base = [(512, True), (256, True)] + base
+    base = [(512, m) for m in _split_modes()]
+    base += [(512, m) for m in _DEFAULT_SYRK_MODES]
+    base += [(256, "hi")]
     return tuple(base)
 
 
@@ -158,20 +175,30 @@ def _probe_time(fn, x0, seed0):
 
 def _measure_chol(N, dtype):
     """Time XLA vs compilable Pallas candidates at (N, dtype); return the
-    winning block size or None for XLA."""
-    from . import pallas_cholesky
+    winning block size or None for XLA.
+
+    What is timed is the logdet+quad PIPELINE each route actually runs in
+    the exact-GPR objective (``linalg._pallas_logdet_quad`` /
+    ``_xla_logdet_quad``) — the Pallas route's padding and mask-free
+    consumption are part of its cost/benefit, and probing the standalone
+    masked factorization mis-routed non-multiple N by ~the mask+pad cost
+    (measured 2026-08-21 at N=10000: standalone said XLA, the pipeline
+    says Pallas s4).
+    """
+    from . import linalg
 
     # synthetic SPD input: well-conditioned; dense-Cholesky timing is
     # data-independent, so the trivial matrix times identically to a Gram
     K0 = 2.0 * jnp.eye(N, dtype=dtype)
+    D0 = jnp.ones((N, 1), dtype)
 
-    def scan_chol(impl):
+    def scan_pipeline(impl):
         @jax.jit
         def many(K, seed):
             def body(carry, i):
-                L = impl(K + (seed * 1e-9 + 1e-8 * (i + 1))
-                         * jnp.eye(N, dtype=K.dtype))
-                return carry + jnp.sum(L[-1, -128:]), None
+                hl, quad = impl(K + (seed * 1e-9 + 1e-8 * (i + 1))
+                                * jnp.eye(N, dtype=K.dtype))
+                return carry + hl + 1e-6 * quad, None
 
             total, _ = jax.lax.scan(
                 body, jnp.zeros((), dtype), jnp.arange(_PROBE_REPS))
@@ -181,19 +208,16 @@ def _measure_chol(N, dtype):
 
     times = {}
     times[None] = _probe_time(
-        scan_chol(lambda K: jnp.linalg.cholesky(K)), K0, 11.0)
-    for bs, s3 in _candidates() or ():
+        scan_pipeline(lambda K: linalg._xla_logdet_quad(K, D0)), K0, 11.0)
+    for bs, mode in _candidates() or ():
+        pipe = lambda K, b=bs, s=mode: linalg._pallas_logdet_quad(
+            K, D0, b, s)
         try:
-            jax.jit(
-                functools.partial(pallas_cholesky.cholesky,
-                                  block_size=bs, syrk_split3=s3)
-            ).lower(jax.ShapeDtypeStruct((N, N), dtype)).compile()
+            jax.jit(pipe).lower(
+                jax.ShapeDtypeStruct((N, N), dtype)).compile()
         except Exception:  # compile rejection — candidate unavailable
             continue
-        times[(bs, s3)] = _probe_time(
-            scan_chol(
-                lambda K, b=bs, s=s3: pallas_cholesky.cholesky(K, b, s)),
-            K0, 29.0)
+        times[(bs, mode)] = _probe_time(scan_pipeline(pipe), K0, 29.0)
 
     xla_t = times[None]
     pallas = {c: t for c, t in times.items() if c is not None}
@@ -205,33 +229,35 @@ def _measure_chol(N, dtype):
 
 
 def chol_choice(N, dtype):
-    """Routing for an (N, N) Cholesky: ``(block_size, syrk_split3)`` for
+    """Routing for an (N, N) Cholesky: ``(block_size, syrk_mode)`` for
     the Pallas kernel, or None for XLA.
 
     Callers have already applied the cheap static gates (TPU backend, f32,
     N above the minimum) — this resolves pin → cache → probe → table.
     Env pin: ``GFS_PALLAS_CHOL_BS=0`` forces XLA, ``512`` that block
-    size, ``512s3`` the 3-pass split-bf16 SYRK variant.
+    size at the exact ("hi") SYRK, ``512s3``/``512s4``/``512s3d``/
+    ``512s4d`` the split-bf16 SYRK variants.
     """
     env = os.environ.get("GFS_PALLAS_CHOL_BS")
     if env:
-        try:
-            s3 = env.endswith("s3")
-            bs = int(env[:-2] if s3 else env)
-        except ValueError:
+        import re
+
+        m = re.fullmatch(r"(\d+)(hi|s3d|s4d|s3|s4)?", env.strip())
+        if m is None:
             # a typo in the pin must not take down the computation —
             # fall through to the probe/cache path below
             print(
                 f"# gfs: unparseable GFS_PALLAS_CHOL_BS={env!r} "
-                "(want e.g. 0, 512, 512s3) — ignoring the pin",
+                "(want e.g. 0, 512, 512s3, 512s4d) — ignoring the pin",
                 file=sys.stderr,
                 flush=True,
             )
         else:
-            return None if bs == 0 else (bs, s3)
+            bs = int(m.group(1))
+            return None if bs == 0 else (bs, m.group(2) or "hi")
 
     key = (jax.default_backend(), int(N), jnp.dtype(dtype).name,
-           _split3_allowed())
+           _split_modes())
     if key in _CHOICE_CACHE:
         return _CHOICE_CACHE[key]
 
@@ -253,8 +279,8 @@ def chol_choice(N, dtype):
             def _nm(k):
                 if k is None:
                     return "xla"
-                bs, s3 = k
-                return f"pallas{bs}" + ("s3" if s3 else "")
+                bs, mode = k
+                return f"pallas{bs}" + ("" if mode == "hi" else mode)
 
             summary = {
                 _nm(k): round(v * 1e3 / _PROBE_REPS, 2)

@@ -67,9 +67,77 @@ def cholesky(K):
 
         choice = autotune.chol_choice(K.shape[0], K.dtype)
         if choice is not None:
-            bs, syrk_split3 = choice
-            return pallas_cholesky.cholesky(K, bs, syrk_split3)
+            bs, syrk = choice
+            return pallas_cholesky.cholesky(K, bs, syrk)
     return _xla_cholesky(K, lower=True)
+
+
+def _pallas_logdet_quad(K, D, bs, syrk):
+    """Padded Pallas pipeline for ``chol_logdet_quad`` (also the exact
+    computation the autotune probe times for each candidate): one fused
+    pad + the fused potrf+potrs kernel (``cholesky_solve_logdet``) — the
+    triangular solve and the logdet accumulation happen INSIDE the
+    factorization, so nothing post-kernel touches the N² factor."""
+    from . import pallas_cholesky
+
+    N = K.shape[0]
+    rem = (-N) % bs
+    if rem:
+        zero = jnp.zeros((), K.dtype)
+        Kp = jax.lax.pad(K, zero, [(0, rem, 0), (0, rem, 0)])
+        idx = jnp.arange(N, N + rem)
+        Kp = Kp.at[idx, idx].set(1.0)
+        Dp = jax.lax.pad(D, zero, [(0, rem, 0), (0, 0, 0)])
+    else:
+        Kp, Dp = K, D
+    return pallas_cholesky.cholesky_solve_logdet(Kp, Dp, bs, syrk)
+
+
+def _xla_logdet_quad(K, D):
+    L = _xla_cholesky(K, lower=True)
+    half_logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
+    alpha = _xla_solve_triangular(L, D, lower=True)
+    return half_logdet, jnp.sum(jnp.square(alpha))
+
+
+def chol_logdet_quad(K, D):
+    """Fused routed ``(half_logdet, quad)`` of the MVN objective core:
+    ``half_logdet = Σ log diag chol(K)``, ``quad = ‖chol(K)⁻¹ D‖²_F``.
+
+    This is what exact-GPR's marginal likelihood actually consumes — NOT
+    the masked factor. On the Pallas route it exploits that Cholesky is
+    leading-principal-nested: K is padded to the block multiple with a
+    unit-diagonal extension (one fused ``lax.pad`` + a rem-element
+    scatter), the kernel factors in place, and the result is consumed
+    WITHOUT the N² slice+tril pass (~2 ms at N=10k, measured
+    2026-08-21): the logdet reads ``diagonal(Lp)[:N]`` (a gather) and
+    the triangular solve runs on the padded system, where the padded
+    RHS rows produce exactly-zero alpha rows (L[pad, :N] = 0 by
+    construction), so ``Σ alpha²`` needs no slicing either.
+
+    The autotune probe times THIS pipeline (per candidate, vs the XLA
+    pipeline) — probing the masked standalone factorization instead
+    mis-routed the objective by ~the mask/pad cost (seen 2026-08-21).
+    """
+    N = K.shape[0]
+    if D.ndim == 1:
+        D = D[:, None]
+    if (
+        _pallas_active()
+        and K.ndim == 2
+        and K.dtype == jnp.float32
+        and N >= _PALLAS_CHOL_MIN_N
+    ):
+        from . import autotune
+
+        choice = autotune.chol_choice(N, K.dtype)
+        if choice is not None:
+            bs, syrk = choice
+            return _pallas_logdet_quad(K, D, bs, syrk)
+    L = cholesky(K)
+    half_logdet = jnp.sum(jnp.log(jnp.diagonal(L)))
+    alpha = solve_lower(L, D)
+    return half_logdet, jnp.sum(jnp.square(alpha))
 
 
 # The wide TRSM kernel holds two (bs, pc) RHS panels + two (bs, bs) L

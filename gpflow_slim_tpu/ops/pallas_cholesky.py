@@ -41,19 +41,25 @@ _SUB = 64  # in-tile sub-panel width (MXU-friendly, static unrolled)
 
 
 def _vmem_cholesky_small(a):
-    """Unblocked masked-rank-1 Cholesky of a small (≤_SUB) SPD tile."""
+    """Unblocked masked-rank-1 Cholesky of a small (≤_SUB) SPD tile.
+
+    This loop is the irreducibly serial core of the whole factorization
+    (bs total iterations per outer block step), so the body is tuned for
+    VPU op count: ONE full-tile reduce per iteration (the raw column),
+    with the pivot extracted from it by a (bs,1) reduce, and the
+    pivot-sqrt/divides fused into a single rsqrt broadcast.
+    """
     bs = a.shape[0]
     r2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
     c2 = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
     rcol = r2[:, :1]  # (bs, 1) row indices
 
     def body(j, a):
-        jj = ((r2 == j) & (c2 == j)).astype(a.dtype)
-        pivot = jnp.sqrt(jnp.sum(a * jj))
         colsel = (c2 == j).astype(a.dtype)
-        col = jnp.sum(a * colsel, axis=1, keepdims=True) / pivot  # (bs, 1)
-        colm = jnp.where(rcol > j, col, 0.0)
-        Lcol = jnp.where(rcol == j, pivot, colm)
+        col_raw = jnp.sum(a * colsel, axis=1, keepdims=True)  # (bs, 1)
+        pivsq = jnp.sum(
+            jnp.where(rcol == j, col_raw, 0.0))  # a[j, j]
+        inv = jax.lax.rsqrt(pivsq)
         # rank-1 update as a BROADCAST multiply (VPU, exact f32) — NOT a
         # K=1 matmul: on the MXU a default-precision `colm @ colm.T`
         # rounds products to bf16 (2⁻⁹), and 64 accumulated rank-1
@@ -61,6 +67,8 @@ def _vmem_cholesky_small(a):
         # complement — enough to push later pivots of a jittered Gram
         # negative (NaN at N≥2048, observed on-chip 2026-08-20; the CPU
         # interpret path is always exact-f32, which hid it).
+        colm = jnp.where(rcol > j, col_raw * inv, 0.0)
+        Lcol = jnp.where(rcol == j, pivsq * inv, colm)  # √p = p·p^{-1/2}
         a = a - colm * colm.reshape(1, -1)
         a = jnp.where(c2 == j, Lcol, a)
         return a
@@ -144,7 +152,7 @@ _MM_PRECISION = jax.lax.Precision.HIGHEST
 # attractive there — but Mosaic's in-kernel dot lowering supports only
 # DEFAULT and HIGHEST ("Unsupported dot precision: HIGH", measured
 # 2026-08-20). The manual hi/lo bf16 split IS implemented as the
-# ``syrk_split3`` kernel variant (3 passes; ~16-bit products): measured
+# ``syrk="s3"``/``"s4"`` kernel variants (3/4 passes): measured
 # accuracy/speed table in docs/PERFORMANCE.md — probed when
 # GFS_PALLAS_CHOL_SPLIT3=1, since its logdet error class differs from
 # the HIGHEST default.
@@ -185,8 +193,8 @@ def _join_blocks(blocks):
     )
 
 
-def _vmem_cholesky(a):
-    """Blocked in-VMEM Cholesky of a bs×bs SPD tile.
+def _vmem_cholesky_inv(a):
+    """Blocked in-VMEM Cholesky of a bs×bs SPD tile, returning (L, L⁻¹).
 
     Factored in _SUB-wide panels over a static nested block list (Mosaic
     supports static slices/concats but not scatter/.at updates): the small
@@ -194,30 +202,97 @@ def _vmem_cholesky(a):
     GEMM against the small triangle inverse, the trailing SYRK runs on the
     MXU. Sequential scalar work drops from O(bs) full-width steps to O(bs)
     tiny ones + GEMMs.
+
+    The full-tile inverse is assembled from the _SUB-leaf inverses (which
+    the panel GEMMs already compute) by hierarchical block doubling,
+
+        [[A, 0], [B, C]]⁻¹ = [[A⁻¹, 0], [−C⁻¹ B A⁻¹, C⁻¹]],
+
+    log2(bs/_SUB) levels of GEMM pairs whose operands start at _SUB and
+    double per level — O(bs³/4) total flops. This replaced the full-tile
+    Newton–Schulz inverse (⌈log2 bs⌉ *dependent* bs³ GEMM pairs — ~6×
+    more MXU work on the serial critical path of every panel step; the
+    change was worth ~10% of the whole factorization at N=10240, bs=512,
+    measured 2026-08-21).
     """
     bs = a.shape[0]
     if bs <= _SUB:
-        return _vmem_cholesky_small(a)
+        L = _vmem_cholesky_small(a)
+        return L, _vmem_tri_inverse_newton(L)
     assert bs % _SUB == 0
+    if bs > 8 * _SUB:
+        # binary split above 8 leaves: the flat panel schedule's trace is
+        # O((bs/_SUB)³) small GEMMs — at bs=1024 that is ~1400 Mosaic ops
+        # and the compile time explodes (>8 min, observed 2026-08-21).
+        # One recursion level keeps every sub-factor on the tuned 8-leaf
+        # path and adds just two bs/2 GEMMs + the doubling assembly.
+        h = bs // 2
+        A11 = jax.lax.slice(a, (0, 0), (h, h))
+        A21 = jax.lax.slice(a, (h, 0), (bs, h))
+        A22 = jax.lax.slice(a, (h, h), (bs, bs))
+        L1, Z1 = _vmem_cholesky_inv(A11)
+        W = _mm(A21, Z1, tb=True)
+        S = A22 - _mm(W, W, tb=True)
+        L2, Z2 = _vmem_cholesky_inv(S)
+        zh = jnp.zeros((h, h), a.dtype)
+        L = jnp.concatenate([
+            jnp.concatenate([L1, zh], axis=1),
+            jnp.concatenate([W, L2], axis=1),
+        ], axis=0)
+        X = -_mm(Z2, _mm(W, Z1))
+        Z = jnp.concatenate([
+            jnp.concatenate([Z1, zh], axis=1),
+            jnp.concatenate([X, Z2], axis=1),
+        ], axis=0)
+        return L, Z
     nb = bs // _SUB
     s = _SUB
     B = _split_blocks(a, s)
     zero = jnp.zeros((s, s), a.dtype)
 
+    Zd = [None] * nb
     for p in range(nb):
         Ld = _vmem_cholesky_small(B[p][p])
-        Zd = _vmem_tri_inverse_newton(Ld)
+        Zd[p] = _vmem_tri_inverse_newton(Ld)
         B[p][p] = Ld
         for j in range(p + 1, nb):
             B[p][j] = zero  # upper triangle of the result
         W = {}
         for i in range(p + 1, nb):
-            W[i] = _mm(B[i][p], Zd, tb=True)
+            W[i] = _mm(B[i][p], Zd[p], tb=True)
             B[i][p] = W[i]
         for i in range(p + 1, nb):
             for j in range(p + 1, i + 1):
                 B[i][j] = B[i][j] - _mm(W[i], W[j], tb=True)
-    return _join_blocks(B)
+    L = _join_blocks(B)
+
+    # hierarchical doubling of the leaf inverses (requires bs/_SUB a power
+    # of two — all supported block sizes are)
+    assert nb & (nb - 1) == 0, "block_size/_SUB must be a power of two"
+    invs = Zd
+    d = s
+    while d < bs:
+        merged = []
+        for t in range(len(invs) // 2):
+            Ai, Ci = invs[2 * t], invs[2 * t + 1]
+            r0 = 2 * t * d
+            Bblk = jax.lax.slice(L, (r0 + d, r0), (r0 + 2 * d, r0 + d))
+            X = -_mm(Ci, _mm(Bblk, Ai))
+            zd = jnp.zeros((d, d), a.dtype)
+            merged.append(jnp.concatenate([
+                jnp.concatenate([Ai, zd], axis=1),
+                jnp.concatenate([X, Ci], axis=1),
+            ], axis=0))
+        invs = merged
+        d *= 2
+    return L, invs[0]
+
+
+def _vmem_cholesky(a):
+    """Blocked in-VMEM Cholesky of a bs×bs SPD tile (factor only)."""
+    if a.shape[0] <= _SUB:
+        return _vmem_cholesky_small(a)
+    return _vmem_cholesky_inv(a)[0]
 
 
 def _vmem_tri_inverse(L):
@@ -248,17 +323,49 @@ def _vmem_tri_inverse(L):
     return _join_blocks(Z)
 
 
-def _make_chol_kernel(nb: int, bs: int, syrk_split3: bool = False):
-    # syrk_split3: run the trailing SYRK as A·Bᵀ with each f32 operand
-    # split into bf16 hi+lo — 3 bf16 MXU passes (hi·hi + hi·lo + lo·hi,
-    # f32 accumulation) instead of HIGHEST's 6. Dropped lo·lo term bounds
-    # the product error at 2⁻¹⁶|a||b|; measured accuracy in
-    # PERFORMANCE.md. ~2× the dominant MXU term of the factorization.
+def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
+                      fuse_p: int | None = None):
+    # ``syrk`` picks the trailing-SYRK arithmetic (docs/PERFORMANCE.md
+    # carries the measured speed/accuracy for each):
+    #   "hi"  — Precision.HIGHEST (6 bf16 MXU passes, f32-exact)
+    #   "s3"  — manual bf16 hi/lo operand split, 3 passes
+    #           (hh + hl + lh; dropped lo·lo bounded by 2⁻¹⁶|a||b|)
+    #   "s4"  — the split with the lo·lo pass kept (4 passes; remaining
+    #           error is the 2⁻¹⁸-class split representation error)
+    #   +"d"  — suffix: DIAGONAL blocks (the logdet path) always update
+    #           at HIGHEST; only off-diagonal blocks use the split
+    #
+    # ``fuse_p``: when set (to the RHS column count P), the kernel ALSO
+    # forward-substitutes alpha = L⁻¹ D and accumulates
+    # half_logdet = Σ log diag L as it factors (fused potrf+potrs):
+    # alpha_k = Lkk⁻¹ d_k at each diagonal step, then every panel block
+    # W_i — already in VMEM — applies alpha_i -= W_i · alpha_k. This
+    # costs nb (bs,bs)@(bs,P) GEMMs per panel (P ≤ 8: noise next to the
+    # SYRK) and removes the post-kernel triangular solve + its
+    # pallas-boundary relayout (~2.7 ms at N=10k, measured 2026-08-21).
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    def kernel(_, A, diag, zinv, pan2, a2, b2, c2,
-               sem, asem, bsem, csem, psem, pwsem, wsem):
+    assert syrk in ("hi", "s3", "s4", "s3d", "s4d"), syrk
+    split = syrk != "hi"
+    keep_ll = syrk.startswith("s4")
+    exact_diag = syrk.endswith("d")
+    fuse = fuse_p is not None
+
+    def kernel(*refs):
+        if fuse:
+            (_, D_in, A, alpha_out, hld_out, diag, zinv, pan2, a2, b2,
+             c2, alpha_v, sem, asem, bsem, csem, psem, pwsem, wsem,
+             dsem) = refs
+        else:
+            (_, A, diag, zinv, pan2, a2, b2, c2,
+             sem, asem, bsem, csem, psem, pwsem, wsem) = refs
+
+        if fuse:
+            cp = pltpu.make_async_copy(D_in, alpha_v, dsem)
+            cp.start()
+            cp.wait()
+            hld_out[0, 0] = jnp.zeros((), hld_out.dtype)
         def blk(i, j):
             return A.at[pl.ds(i * bs, bs), pl.ds(j * bs, bs)]
 
@@ -273,18 +380,32 @@ def _make_chol_kernel(nb: int, bs: int, syrk_split3: bool = False):
             cp.wait()
 
         def step_k(k, _):
-            # 1) factor diagonal block
+            # 1+2) factor the diagonal block and assemble its inverse from
+            #    the _SUB-leaf inverses by block doubling (see
+            #    _vmem_cholesky_inv) so the panel TRSM becomes a GEMM.
+            #    The doubling needs a few bs² live temporaries — covered
+            #    by the raised vmem_limit_bytes below.
             copy_in(k, k, diag)
-            Lkk = _vmem_cholesky(diag[:])
+            Lkk, Zkk = _vmem_cholesky_inv(diag[:])
             diag[:] = Lkk
             copy_out(diag, k, k)
-            # 2) invert it once (log-depth Newton, full-tile GEMMs) so the
-            #    panel TRSM becomes a GEMM. The full-tile iteration needs a
-            #    few bs² live temporaries — covered by the raised
-            #    vmem_limit_bytes below; the blocked alternative
-            #    (_vmem_tri_inverse) fits 16 MiB but its long chain of
-            #    64×64 GEMMs is ~50% slower end-to-end at bs=512
-            zinv[:] = _vmem_tri_inverse_newton(Lkk)
+            zinv[:] = Zkk
+
+            if fuse:
+                # logdet: Σ log diag(Lkk). A unit-diagonal pad extension
+                # contributes log 1 = 0, so no [:N] slicing downstream.
+                ri = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (bs, bs), 1)
+                # keepdims: Mosaic mis-lays-out 1-D reduction results
+                # ("Invalid relayout ... vector<1x512xf32>", 2026-08-21)
+                dvec = jnp.sum(jnp.where(ri == ci, Lkk, 0.0), axis=1,
+                               keepdims=True)
+                hld_out[0, 0] = hld_out[0, 0] + jnp.sum(jnp.log(dvec))
+                # forward substitution for this block row
+                ak = _mm(Zkk, alpha_v[pl.ds(k * bs, bs), :])
+                alpha_v[pl.ds(k * bs, bs), :] = ak
+            else:
+                ak = None
 
             # 3) panel: L[i,k] = A[i,k] @ Lkk⁻ᵀ — double-buffered loads
             #    AND async write-backs. A slot's write-back must complete
@@ -327,6 +448,13 @@ def _make_chol_kernel(nb: int, bs: int, syrk_split3: bool = False):
                     precision=_MM_PRECISION,
                 ).astype(pan2.dtype)
                 p_write(cur, i).start()
+                if fuse:
+                    # W_i is in VMEM right now — the forward-substitution
+                    # trailing update rides along (the in-flight write-back
+                    # DMA only READS pan2[cur]; no conflict)
+                    av = alpha_v[pl.ds(i * bs, bs), :]
+                    alpha_v[pl.ds(i * bs, bs), :] = av - _mm(
+                        pan2[cur], ak)
                 return 0
 
             jax.lax.fori_loop(0, np_i, panel_body, 0)
@@ -373,7 +501,7 @@ def _make_chol_kernel(nb: int, bs: int, syrk_split3: bool = False):
 
                 b_dma(cur_b, j).wait()
                 b_s = b2[cur_b]
-                if syrk_split3:
+                if split:
                     bh = b_s.astype(jnp.bfloat16)
                     bl = (b_s - bh.astype(jnp.float32)).astype(jnp.bfloat16)
                 n_i = nb - j
@@ -386,9 +514,51 @@ def _make_chol_kernel(nb: int, bs: int, syrk_split3: bool = False):
                     return pltpu.make_async_copy(c2.at[slot], blk(i, j),
                                                  wsem.at[slot])
 
+                def dot_hi(x, y):
+                    return jax.lax.dot_general(
+                        x, y, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=_SYRK_PRECISION,
+                    )
+
+                def update(cur, exact):
+                    if split and not exact:
+                        a = a2[cur]
+                        ah = a.astype(jnp.bfloat16)
+                        al = (a - ah.astype(jnp.float32)).astype(
+                            jnp.bfloat16)
+
+                        def dot_nt(x, y):
+                            return jax.lax.dot_general(
+                                x, y, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+
+                        prod = dot_nt(ah, bh) + dot_nt(ah, bl) + dot_nt(
+                            al, bh)
+                        if keep_ll:
+                            prod = prod + dot_nt(al, bl)
+                    else:
+                        prod = dot_hi(a2[cur], b_s)
+                    c2[cur] = (c2[cur] - prod).astype(c2.dtype)
+
                 # warm-up: start the first pair
                 a_dma(0, j).start()
                 c_dma(0, j).start()
+
+                if exact_diag:
+                    # peel idx=0 — the DIAGONAL block (i == j), which is
+                    # the logdet path: it always updates at HIGHEST, so
+                    # only off-diagonal blocks carry split error directly
+                    @pl.when(n_i >= 2)
+                    def _():
+                        a_dma(1, j + 1).start()
+                        c_dma(1, j + 1).start()
+
+                    a_dma(0, j).wait()
+                    c_dma(0, j).wait()
+                    update(0, exact=True)
+                    c_write(0, j).start()
 
                 def trail_i(idx, _):
                     i = j + idx
@@ -406,32 +576,11 @@ def _make_chol_kernel(nb: int, bs: int, syrk_split3: bool = False):
 
                     a_dma(cur, i).wait()
                     c_dma(cur, i).wait()
-                    if syrk_split3:
-                        a = a2[cur]
-                        ah = a.astype(jnp.bfloat16)
-                        al = (a - ah.astype(jnp.float32)).astype(
-                            jnp.bfloat16)
-
-                        def dot_nt(x, y):
-                            return jax.lax.dot_general(
-                                x, y, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )
-
-                        prod = dot_nt(ah, bh) + dot_nt(ah, bl) + dot_nt(
-                            al, bh)
-                    else:
-                        prod = jax.lax.dot_general(
-                            a2[cur], b_s, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=_SYRK_PRECISION,
-                        )
-                    result = (c2[cur] - prod).astype(c2.dtype)
-                    c2[cur] = result
+                    update(cur, exact=False)
                     c_write(cur, i).start()
                     return 0
 
-                jax.lax.fori_loop(0, n_i, trail_i, 0)
+                jax.lax.fori_loop(1 if exact_diag else 0, n_i, trail_i, 0)
 
                 # drain outstanding write-backs before the next j reuses
                 # the slots (and before later k-steps read these blocks)
@@ -450,13 +599,18 @@ def _make_chol_kernel(nb: int, bs: int, syrk_split3: bool = False):
 
         jax.lax.fori_loop(0, nb, step_k, 0)
 
+        if fuse:
+            cp = pltpu.make_async_copy(alpha_v, alpha_out, dsem)
+            cp.start()
+            cp.wait()
+
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_size", "interpret", "syrk_split3"))
+    jax.jit, static_argnames=("block_size", "interpret", "syrk", "mask"))
 def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False,
-                     syrk_split3: bool = False):
+                     syrk: str = "hi", mask: bool = True):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -464,16 +618,20 @@ def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False,
     bs = block_size
     rem = (-N) % bs
     if rem:
-        Kp = jnp.zeros((N + rem, N + rem), K.dtype)
-        Kp = Kp.at[:N, :N].set(K)
-        Kp = Kp.at[jnp.arange(N, N + rem), jnp.arange(N, N + rem)].set(1.0)
+        # ONE fused pad pass + a rem-element diagonal scatter — the
+        # previous zeros/at.set/at.set chain cost three N² passes
+        # (~3 ms at N=10000, measured 2026-08-21)
+        Kp = jax.lax.pad(K, jnp.zeros((), K.dtype),
+                         [(0, rem, 0), (0, rem, 0)])
+        idx = jnp.arange(N, N + rem)
+        Kp = Kp.at[idx, idx].set(1.0)
     else:
         Kp = K
     Np = Kp.shape[0]
     nb = Np // bs
 
     out = pl.pallas_call(
-        _make_chol_kernel(nb, bs, syrk_split3=syrk_split3),
+        _make_chol_kernel(nb, bs, syrk=syrk),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((Np, Np), K.dtype),
@@ -498,11 +656,19 @@ def _cholesky_pallas(K, block_size: int = 256, interpret: bool = False,
             has_side_effects=True,
             # the scoped-VMEM default (16 MiB) is a compiler knob, not the
             # hardware: v5e cores have 128 MiB of VMEM. bs=512 scratch +
-            # temporaries need ~17 MiB; give headroom so the fastest block
-            # size isn't rejected at compile time
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # temporaries need ~17 MiB, bs=1024 ~40 MiB scratch + block
+            # temporaries; give headroom so the fastest block size isn't
+            # rejected at compile time
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
     )(Kp)
+    if not mask:
+        # fast path for consumers that only read the lower triangle +
+        # diagonal (triangular solves, logdet) — skips the N² slice+tril
+        # pass (~1-1.5 ms at N=10k). The strictly-upper content is the
+        # INPUT's upper triangle (in-place factorization), rows/cols
+        # beyond N are the unit pad. Shape is the padded (Np, Np).
+        return out
     return jnp.tril(out[:N, :N])
 
 
@@ -512,7 +678,9 @@ def _chol_vjp_bwd(res, g):
     # from XLA's AD by up to 0.5% (caught by the compiled-on-chip test
     # 2026-08-20); gradients feed line searches and NUTS energies, which
     # notice 2⁻⁹-level noise.
-    L = res
+    # res may be the unmasked in-place factor (mask=False path): only
+    # its lower triangle is the factor, so mask before use
+    L = jnp.tril(res)
     from jax.scipy.linalg import solve_triangular
 
     def phi(A):
@@ -534,28 +702,159 @@ def _chol_vjp_bwd(res, g):
     return (Kbar,)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def cholesky(K, block_size: int = 256, syrk_split3: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def cholesky(K, block_size: int = 256, syrk: str = "hi",
+             mask: bool = True):
     """Lower Cholesky via the Pallas blocked kernel (TPU compiled path).
 
-    ``syrk_split3``: run the trailing SYRK as 3 bf16 MXU passes (hi/lo
-    operand split) instead of 6-pass f32-exact — ~2× the dominant MXU
-    term; the error bound is documented at the ``syrk_split3`` branch in
-    ``_make_chol_kernel`` and the measured accuracy table lives in
-    docs/PERFORMANCE.md.
+    ``syrk`` picks the trailing-SYRK arithmetic — "hi" (Precision.HIGHEST,
+    f32-exact), "s3"/"s4" (manual bf16 hi/lo operand split, 3/4 MXU
+    passes), with a "d" suffix keeping DIAGONAL-block updates (the logdet
+    path) at HIGHEST; the error bounds are documented in
+    ``_make_chol_kernel`` and the measured accuracy/speed table lives in
+    docs/PERFORMANCE.md. Accepts True/False as aliases for "s3"/"hi"
+    (the pre-round-5 boolean API).
     """
     return _cholesky_pallas(K, block_size=block_size,
-                            syrk_split3=syrk_split3)
+                            syrk=_norm_syrk(syrk), mask=mask)
 
 
-def _fwd(K, block_size, syrk_split3):
-    L = _cholesky_pallas(K, block_size=block_size, syrk_split3=syrk_split3)
+def _norm_syrk(syrk):
+    if syrk is True:
+        return "s3"
+    if syrk is False or syrk is None:
+        return "hi"
+    return syrk
+
+
+def _fwd(K, block_size, syrk, mask):
+    L = _cholesky_pallas(K, block_size=block_size, syrk=_norm_syrk(syrk),
+                         mask=mask)
     return L, L
 
 
-cholesky.defvjp(_fwd, lambda bs, s3, res, g: _chol_vjp_bwd(res, g))
+def _bwd(block_size, syrk, mask, res, g):
+    # mask=False forwards return the PADDED factor, so res/g/K̄ are all
+    # padded consistently; the caller differentiates through its own pad
+    # op to recover the unpadded K̄.
+    return _chol_vjp_bwd(res, g)
 
 
-def cholesky_interpret(K, block_size: int = 64):
+cholesky.defvjp(_fwd, _bwd)
+
+
+def cholesky_interpret(K, block_size: int = 64, syrk: str = "hi"):
     """Interpret-mode execution for CPU equivalence tests."""
-    return _cholesky_pallas(K, block_size=block_size, interpret=True)
+    return _cholesky_pallas(K, block_size=block_size, interpret=True,
+                            syrk=_norm_syrk(syrk))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "interpret", "syrk"))
+def _cholesky_solve_pallas(K, D, block_size: int = 512,
+                           interpret: bool = False, syrk: str = "hi"):
+    """Fused potrf+potrs on an ALREADY block-multiple (padded) system.
+
+    K: (Np, Np) SPD, Np a multiple of ``block_size`` (callers pad with
+    the unit-diagonal extension — Cholesky is leading-principal-nested);
+    D: (Np, P) with zero pad rows. Returns ``(Lp, alpha, half_logdet)``
+    where Lp is the UNMASKED in-place factor, ``alpha = L⁻¹ D`` (pad
+    rows exactly zero), and ``half_logdet = Σ log diag Lp`` (pad rows
+    contribute log 1 = 0).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    Np = K.shape[0]
+    bs = block_size
+    assert Np % bs == 0, (Np, bs)
+    P = D.shape[1]
+    nb = Np // bs
+
+    out, alpha, hld = pl.pallas_call(
+        _make_chol_kernel(nb, bs, syrk=syrk, fuse_p=P),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((Np, Np), K.dtype),
+                   jax.ShapeDtypeStruct((Np, P), K.dtype),
+                   jax.ShapeDtypeStruct((1, 1), K.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((bs, bs), K.dtype),      # diag
+            pltpu.VMEM((bs, bs), K.dtype),      # zinv
+            pltpu.VMEM((2, bs, bs), K.dtype),   # panel double buffer
+            pltpu.VMEM((2, bs, bs), K.dtype),   # a double buffer
+            pltpu.VMEM((2, bs, bs), K.dtype),   # b double buffer (per-j)
+            pltpu.VMEM((2, bs, bs), K.dtype),   # c double buffer
+            pltpu.VMEM((Np, P), K.dtype),       # alpha (whole RHS)
+            pltpu.SemaphoreType.DMA,            # generic
+            pltpu.SemaphoreType.DMA((2,)),      # a load slots
+            pltpu.SemaphoreType.DMA((2,)),      # b load slots
+            pltpu.SemaphoreType.DMA((2,)),      # c load slots
+            pltpu.SemaphoreType.DMA((2,)),      # panel load slots
+            pltpu.SemaphoreType.DMA((2,)),      # panel write slots
+            pltpu.SemaphoreType.DMA((2,)),      # c write slots
+            pltpu.SemaphoreType.DMA,            # alpha in/out
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+    )(K, D)
+    return out, alpha, hld[0, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def cholesky_solve_logdet(K, D, block_size: int = 512, syrk: str = "hi"):
+    """(half_logdet, quad) = (Σ log diag chol(K), ‖chol(K)⁻¹D‖²_F) via the
+    fused potrf+potrs kernel. K must be padded to a block multiple with a
+    unit-diagonal extension and D zero-padded (see
+    ``linalg._pallas_logdet_quad``); both returned scalars are then exact
+    for the leading system, no slicing required.
+    """
+    _, alpha, hld = _cholesky_solve_pallas(
+        K, D, block_size=block_size, syrk=_norm_syrk(syrk))
+    return hld, jnp.sum(jnp.square(alpha))
+
+
+def _csl_fwd(K, D, block_size, syrk):
+    Lp, alpha, hld = _cholesky_solve_pallas(
+        K, D, block_size=block_size, syrk=_norm_syrk(syrk))
+    return (hld, jnp.sum(jnp.square(alpha))), (Lp, alpha)
+
+
+def _csl_bwd(block_size, syrk, res, cots):
+    # ∂(½ logdet K)/∂K = ½ K⁻¹ ;  quad = DᵀK⁻¹D so ∂quad/∂K = −β βᵀ and
+    # ∂quad/∂D = 2β with β = K⁻¹D = L⁻ᵀ α. Full-matrix symmetric-gradient
+    # convention, matching ``cholesky``'s VJP (callers build K
+    # symmetrically). All solves read only the lower triangle of the
+    # unmasked Lp.
+    from jax.scipy.linalg import solve_triangular
+
+    Lp, alpha = res
+    ghl, gq = cots
+    beta = solve_triangular(Lp, alpha, lower=True, trans=1)
+    eye = jnp.eye(Lp.shape[0], dtype=Lp.dtype)
+    Linv = solve_triangular(Lp, eye, lower=True)
+    Kinv = jnp.matmul(Linv.T, Linv,
+                      precision=jax.lax.Precision.HIGHEST)
+    Kbar = 0.5 * ghl * Kinv - gq * jnp.matmul(
+        beta, beta.T, precision=jax.lax.Precision.HIGHEST)
+    Dbar = 2.0 * gq * beta
+    return Kbar, Dbar
+
+
+cholesky_solve_logdet.defvjp(_csl_fwd, _csl_bwd)
+
+
+def cholesky_solve_logdet_interpret(K, D, block_size: int = 64,
+                                    syrk: str = "hi"):
+    """Interpret-mode execution for CPU equivalence tests."""
+    _, alpha, hld = _cholesky_solve_pallas(
+        K, D, block_size=block_size, interpret=True,
+        syrk=_norm_syrk(syrk))
+    return hld, jnp.sum(jnp.square(alpha))

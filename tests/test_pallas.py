@@ -90,7 +90,7 @@ def test_gram_matches_kernel_class_math():
     )
 
 
-@pytest.mark.parametrize("N,bs", [(64, 64), (128, 64), (200, 64)])
+@pytest.mark.parametrize("N,bs", [(64, 64), (128, 64), (200, 64), (256, 128)])
 def test_pallas_cholesky_matches_numpy(N, bs):
     K = spd(N)
     L = np.asarray(pallas_cholesky.cholesky_interpret(jnp.asarray(K),
@@ -243,9 +243,11 @@ def test_linalg_batched_routing_cpu():
 def test_autotune_env_pin_parsing(monkeypatch):
     from gpflow_slim_tpu.ops import autotune
     monkeypatch.setenv("GFS_PALLAS_CHOL_BS", "512s3")
-    assert autotune.chol_choice(4096, jnp.float32) == (512, True)
+    assert autotune.chol_choice(4096, jnp.float32) == (512, "s3")
     monkeypatch.setenv("GFS_PALLAS_CHOL_BS", "256")
-    assert autotune.chol_choice(4096, jnp.float32) == (256, False)
+    assert autotune.chol_choice(4096, jnp.float32) == (256, "hi")
+    monkeypatch.setenv("GFS_PALLAS_CHOL_BS", "512s4d")
+    assert autotune.chol_choice(4096, jnp.float32) == (512, "s4d")
     monkeypatch.setenv("GFS_PALLAS_CHOL_BS", "0")
     assert autotune.chol_choice(4096, jnp.float32) is None
     # a malformed pin must fall through (to the static table on CPU with
@@ -253,3 +255,30 @@ def test_autotune_env_pin_parsing(monkeypatch):
     monkeypatch.setenv("GFS_PALLAS_CHOL_BS", "s3")
     monkeypatch.setenv("GFS_AUTOTUNE", "0")
     assert autotune.chol_choice(4096, jnp.float32) is None
+
+
+def test_vmem_cholesky_inv_doubling():
+    # the blocked tile factor + doubling-assembled inverse (the panel-step
+    # serial path of the compiled kernel) — pure jnp, runs anywhere
+    for bs in (64, 128, 256):
+        K = jnp.asarray(spd(bs), jnp.float64)
+        L, Z = pallas_cholesky._vmem_cholesky_inv(K)
+        Lref = np.linalg.cholesky(np.asarray(K))
+        np.testing.assert_allclose(np.asarray(L), Lref, rtol=0, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(Z @ L), np.eye(bs), atol=1e-8)
+        assert np.abs(np.triu(np.asarray(Z), 1)).max() == 0.0
+
+
+@pytest.mark.parametrize("syrk", ["s3", "s4", "s3d", "s4d"])
+def test_pallas_cholesky_syrk_modes_interpret(syrk):
+    # exercises the split-bf16 SYRK variants AND the peeled-diagonal DMA
+    # choreography ("d" modes) through the same kernel code the TPU runs
+    N = 200
+    K = spd(N)
+    L = np.asarray(pallas_cholesky.cholesky_interpret(
+        jnp.asarray(K), block_size=64, syrk=syrk))
+    Lref = np.linalg.cholesky(K.astype(np.float64))
+    # split modes carry ~2^-15-class product error by design
+    assert np.abs(L - Lref).max() / np.abs(Lref).max() < 2e-3
+    assert np.abs(np.triu(L, 1)).max() == 0.0

@@ -198,14 +198,14 @@ def test_pallas_cholesky_ill_conditioned_gram():
     K32 = jnp.asarray(Kd, jnp.float32)
 
     for bs in (256, 512):
-        for s3 in (False, True):
+        for mode in ("hi", "s3", "s4", "s4d"):
             L = np.asarray(
-                jax.jit(lambda K, b=bs, s=s3: pallas_cholesky.cholesky(
+                jax.jit(lambda K, b=bs, s=mode: pallas_cholesky.cholesky(
                     K, b, s))(K32),
                 np.float64,
             )
-            assert np.all(np.isfinite(L)), (bs, s3)
+            assert np.all(np.isfinite(L)), (bs, mode)
             frob = (np.linalg.norm(np.tril(L) - Ld)
                     / np.linalg.norm(Ld))
             # f32-class: XLA's own f32 chol measures ~4e-5 here
-            assert frob < 5e-4, (bs, s3, frob)
+            assert frob < 5e-4, (bs, mode, frob)
