@@ -254,6 +254,23 @@ class Stationary(Kernel):
         var = jnp.squeeze(self.variance.value)
         return _pg.stationary_gram_lower(self._gram_kind, self._scaled(X), var)
 
+    def gram_chol_operand(self, X, noise, pad_to, presliced=False):
+        """One-pass (pad_to, pad_to) Cholesky operand ``K(X,X)+noise·I``
+        with a unit-diagonal pad extension; ONLY the lower tile grid is
+        written (see ``ops.pallas_gram.stationary_gram_chol_operand``).
+        Returns None when this kernel has no fused-map code path, so
+        callers fall back to the composite route.
+        """
+        from .ops import pallas_gram as _pg
+
+        if self._gram_kind is None:
+            return None
+        if not presliced:
+            X, _ = self._slice(X, None)
+        var = jnp.squeeze(self.variance.value)
+        return _pg.stationary_gram_chol_operand(
+            self._gram_kind, self._scaled(X), var, noise, pad_to)
+
 
 class RBF(Stationary):
     def __init__(self, input_dim, variance=1.0, lengthscales=1.0,

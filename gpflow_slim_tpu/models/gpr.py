@@ -34,17 +34,17 @@ class GPR(GPModel):
     def build_likelihood(self):
         """log p(Y | θ) = MVN(Y; m(X), K + σ²I), summed over output columns.
 
-        Routed through ``ops.linalg.chol_logdet_quad`` — the fused
-        logdet+quadratic pipeline that lets the Pallas factorization skip
-        the N² mask/slice passes (same math as
+        Routed through ``ops.linalg.gpr_chol_terms`` — on the Pallas
+        route the whole pipeline is the one-pass gram+noise+pad operand
+        kernel feeding the fused potrf+potrs factorization, with no
+        other N²-scale passes (same math as
         ``densities.multivariate_normal``; SURVEY App. A).
         """
         N = self.X.shape[0]
-        K = self.kern.K_lower(self.X) + jnp.squeeze(
-            self.likelihood.variance.value
-        ) * jnp.eye(N, dtype=self.X.dtype)
         d = self.Y - self.mean_function(self.X)
-        half_logdet, quad = linalg.chol_logdet_quad(K, d)
+        noise = jnp.squeeze(self.likelihood.variance.value)
+        half_logdet, quad = linalg.gpr_chol_terms(
+            self.kern, self.X, noise, d)
         num_col = d.shape[1] if d.ndim > 1 else 1
         return (
             -0.5 * N * num_col * jnp.log(2.0 * jnp.pi)

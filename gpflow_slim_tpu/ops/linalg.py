@@ -140,6 +140,47 @@ def chol_logdet_quad(K, D):
     return half_logdet, jnp.sum(jnp.square(alpha))
 
 
+def gpr_chol_terms(kern, X, noise, D):
+    """(half_logdet, quad) for ``K = kern.K(X) + noise·I`` — the exact-GPR
+    marginal-likelihood core, with the fully-fused Pallas fast path.
+
+    When the autotune probe routes this shape to the Pallas Cholesky AND
+    the kernel has a fused-map code path, the WHOLE pipeline is two
+    Pallas calls and nothing else at N² scale: the one-pass lower-tile
+    gram+noise+pad operand (``kern.gram_chol_operand``) feeding the fused
+    potrf+potrs (``cholesky_solve_logdet``). Otherwise: the composite
+    gram + ``chol_logdet_quad`` (which itself routes the factorization).
+    """
+    N = X.shape[0]
+    if D.ndim == 1:
+        D = D[:, None]
+    if (
+        _pallas_active()
+        and jnp.asarray(X).dtype == jnp.float32
+        and N >= _PALLAS_CHOL_MIN_N
+        and getattr(kern, "_gram_kind", None) is not None
+        and hasattr(kern, "gram_chol_operand")
+    ):
+        from . import autotune
+
+        choice = autotune.chol_choice(N, jnp.float32)
+        if choice is not None:
+            bs, syrk = choice
+            pad_to = N + ((-N) % bs)
+            Kp = kern.gram_chol_operand(X, noise, pad_to)
+            if Kp is not None:
+                from . import pallas_cholesky
+
+                zero = jnp.zeros((), Kp.dtype)
+                Dp = jax.lax.pad(
+                    D.astype(Kp.dtype), zero,
+                    [(0, pad_to - N, 0), (0, 0, 0)])
+                return pallas_cholesky.cholesky_solve_logdet(
+                    Kp, Dp, bs, syrk)
+    K = kern.K_lower(X) + noise * jnp.eye(N, dtype=jnp.asarray(X).dtype)
+    return chol_logdet_quad(K, D)
+
+
 # The wide TRSM kernel holds two (bs, pc) RHS panels + two (bs, bs) L
 # tiles in VMEM, pc = padded column count. Measured 2026-08-20
 # (benchmarks/bench_trsm_scan.py): runs fine at pc=2048 (8.9 MB), fails

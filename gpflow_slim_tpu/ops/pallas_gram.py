@@ -243,3 +243,117 @@ def gram_interpret_mode(kind, Xs, X2s, variance, tile=128):
         interpret=True,
     )(Xp, Yp, var)
     return out[:N, :M]
+
+
+def _gram_chol_operand_kernel(kind, N, tile, im_ref, jm_ref, x_ref, y_ref,
+                              sc_ref, out_ref):
+    from jax.experimental import pallas as pl
+
+    t = pl.program_id(0)
+    bi = im_ref[t]
+    bj = jm_ref[t]
+    x = x_ref[:]
+    y = y_ref[:]
+    var = sc_ref[0]
+    noise = sc_ref[1]
+    xs = jnp.sum(jnp.square(x), axis=1, keepdims=True)
+    ys = jnp.sum(jnp.square(y), axis=1, keepdims=True)
+    acc = x.dtype if x.dtype == jnp.float64 else jnp.float32
+    cross = jax.lax.dot_general(
+        x, y, (((1,), (1,)), ((), ())),
+        preferred_element_type=acc,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = jnp.maximum(xs - 2.0 * cross + ys.T, 0.0)
+    k = _apply_map(kind, var, d2)
+    rl = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    cl = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+    rg = rl + bi * tile
+    cg = cl + bj * tile
+    eye = (rg == cg).astype(k.dtype)
+    valid = (rg < N) & (cg < N)
+    # valid region: K + noise·I ; pad extension: unit diagonal (the
+    # leading-principal-nested Cholesky never reads anything else)
+    out_ref[:] = jnp.where(valid, k + noise * eye, eye).astype(
+        out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "pad_to", "tile", "interpret"))
+def _gram_chol_operand_pallas(kind, Xs, variance, noise, pad_to,
+                              tile=256, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, D = Xs.shape
+    Np = pad_to
+    assert Np % tile == 0 and Np >= N
+    nbt = Np // tile
+    Xp = jnp.concatenate(
+        [Xs, jnp.zeros((Np - N, D), Xs.dtype)], axis=0
+    ) if Np > N else Xs
+    lower = [(i, j) for i in range(nbt) for j in range(i + 1)]
+    im = jnp.asarray(np.array([p[0] for p in lower], np.int32))
+    jm = jnp.asarray(np.array([p[1] for p in lower], np.int32))
+    scal = jnp.stack([jnp.asarray(variance, Xs.dtype),
+                      jnp.asarray(noise, Xs.dtype)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(len(lower),),
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda t, im_, jm_: (im_[t], 0)),
+            pl.BlockSpec((tile, D), lambda t, im_, jm_: (jm_[t], 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, tile), lambda t, im_, jm_: (im_[t], jm_[t])),
+    )
+    return pl.pallas_call(
+        functools.partial(_gram_chol_operand_kernel, kind, N, tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Np, Np), Xs.dtype),
+        interpret=interpret,
+    )(im, jm, Xp, Xp, scal)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
+def stationary_gram_chol_operand(kind, Xs, variance, noise, pad_to):
+    """One-pass Cholesky operand: lower tiles of ``K(Xs,Xs) + noise·I``
+    padded to ``pad_to`` with a unit-diagonal extension.
+
+    HALF the tile grid of the full Gram (strictly-upper tiles are never
+    visited — their content is UNSPECIFIED), the noise-diagonal add and
+    the pad extension are fused into the same single output pass — this
+    kernel + ``pallas_cholesky.cholesky_solve_logdet`` is the whole
+    exact-GPR objective pipeline with no other N² traffic. Consumers
+    MUST read only the lower triangle (the fused Cholesky does; its
+    in-tile masking tolerates arbitrary garbage above the diagonal).
+
+    VJP: the consumer's dependence through the lower triangle equals its
+    dependence on the full symmetric ``K + noise·I`` (it is built
+    symmetrically), so the cotangent — symmetric, from the Cholesky VJP —
+    back-propagates through the reference full-Gram composite, exactly as
+    ``stationary_gram_lower`` does.
+    """
+    return _gram_chol_operand_pallas(kind, Xs, variance, noise, pad_to)
+
+
+def _opnd_fwd(kind, Xs, variance, noise, pad_to):
+    out = _gram_chol_operand_pallas(kind, Xs, variance, noise, pad_to)
+    return out, (Xs, variance, noise)
+
+
+def _opnd_bwd(kind, pad_to, res, g):
+    Xs, variance, noise = res
+    N = Xs.shape[0]
+    gv = g[:N, :N]
+    _, vjp = jax.vjp(
+        lambda a, v, n: _gram_reference(kind, a, a, v)
+        + n * jnp.eye(N, dtype=a.dtype),
+        Xs, variance, noise,
+    )
+    return vjp(gv)
+
+
+stationary_gram_chol_operand.defvjp(_opnd_fwd, _opnd_bwd)
