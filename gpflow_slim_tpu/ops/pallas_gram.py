@@ -245,26 +245,38 @@ def gram_interpret_mode(kind, Xs, X2s, variance, tile=128):
     return out[:N, :M]
 
 
-def _gram_chol_operand_kernel(kind, N, tile, im_ref, jm_ref, x_ref, y_ref,
+def _gram_chol_operand_kernel(kind, N, tile, im_ref, jm_ref, x_ref,
                               sc_ref, out_ref):
     from jax.experimental import pallas as pl
 
     t = pl.program_id(0)
     bi = im_ref[t]
     bj = jm_ref[t]
-    x = x_ref[:]
-    y = y_ref[:]
+    # X stays VMEM-resident across the whole grid (constant index map —
+    # it is KB-scale); per-tile row slices are taken here rather than by
+    # per-step (tile, D) input DMAs, whose fixed cost dominated the
+    # kernel (~2 tiny DMAs × ~1-2 µs per tile, measured 2026-08-21)
+    x = x_ref[pl.ds(bi * tile, tile), :]
+    y = x_ref[pl.ds(bj * tile, tile), :]
     var = sc_ref[0]
     noise = sc_ref[1]
-    xs = jnp.sum(jnp.square(x), axis=1, keepdims=True)
-    ys = jnp.sum(jnp.square(y), axis=1, keepdims=True)
-    acc = x.dtype if x.dtype == jnp.float64 else jnp.float32
-    cross = jax.lax.dot_general(
-        x, y, (((1,), (1,)), ((), ())),
-        preferred_element_type=acc,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d2 = jnp.maximum(xs - 2.0 * cross + ys.T, 0.0)
+    if x.shape[1] == 1:
+        # 1-D inputs: the direct (x − yᵀ)² distance is both cheaper on
+        # the VPU than the ‖x‖²−2xyᵀ+‖y‖² expansion (the kernel is
+        # elementwise-bound, measured 2026-08-21) and EXACT — no
+        # cancellation, no max(·,0) clamp, no HIGHEST matmul needed
+        diff = x - y.reshape(1, -1)
+        d2 = diff * diff
+    else:
+        xs = jnp.sum(jnp.square(x), axis=1, keepdims=True)
+        ys = jnp.sum(jnp.square(y), axis=1, keepdims=True)
+        acc = x.dtype if x.dtype == jnp.float64 else jnp.float32
+        cross = jax.lax.dot_general(
+            x, y, (((1,), (1,)), ((), ())),
+            preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        d2 = jnp.maximum(xs - 2.0 * cross + ys.T, 0.0)
     k = _apply_map(kind, var, d2)
     rl = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
     cl = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
@@ -281,12 +293,17 @@ def _gram_chol_operand_kernel(kind, N, tile, im_ref, jm_ref, x_ref, y_ref,
 @functools.partial(
     jax.jit, static_argnames=("kind", "pad_to", "tile", "interpret"))
 def _gram_chol_operand_pallas(kind, Xs, variance, noise, pad_to,
-                              tile=256, interpret=False):
+                              tile=None, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     N, D = Xs.shape
     Np = pad_to
+    if tile is None:
+        # largest supported tile dividing the padded size: per-tile grid
+        # overhead dominates small tiles (512: 3.38 ms, 256: 3.65,
+        # 128: 4.03 at N=10240, measured 2026-08-21)
+        tile = next(t for t in (512, 256, 128) if Np % t == 0)
     assert Np % tile == 0 and Np >= N
     nbt = Np // tile
     Xp = jnp.concatenate(
@@ -302,8 +319,7 @@ def _gram_chol_operand_pallas(kind, Xs, variance, noise, pad_to,
         num_scalar_prefetch=2,
         grid=(len(lower),),
         in_specs=[
-            pl.BlockSpec((tile, D), lambda t, im_, jm_: (im_[t], 0)),
-            pl.BlockSpec((tile, D), lambda t, im_, jm_: (jm_[t], 0)),
+            pl.BlockSpec((Np, D), lambda t, im_, jm_: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -314,7 +330,7 @@ def _gram_chol_operand_pallas(kind, Xs, variance, noise, pad_to,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Np, Np), Xs.dtype),
         interpret=interpret,
-    )(im, jm, Xp, Xp, scal)
+    )(im, jm, Xp, scal)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 4))
