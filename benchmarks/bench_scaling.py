@@ -47,6 +47,14 @@ _ap.add_argument("--warmup", type=int, default=64)
 _ap.add_argument("--reps", type=int, default=3)
 _ap.add_argument("--skip-nuts", action="store_true")
 _ap.add_argument("--skip-gpr", action="store_true")
+_ap.add_argument("--grid", default=None, metavar="PRxPC",
+                 help="also bench the comm-optimal 2-D grid GPR loss "
+                      "(make_grid_gpr_loss) on a PRxPC mesh, e.g. 2x4 — "
+                      "plus a 1-device reference for overhead-efficiency")
+_ap.add_argument("--cyclic", action="store_true",
+                 help="also bench the explicit-collective 1-D cyclic "
+                      "Cholesky factorization, lookahead on vs off, at "
+                      "each mesh size")
 _ap.add_argument("--real", action="store_true",
                  help="use the real accelerator devices (pod). Default is "
                       "the virtual CPU mesh: creating the TPU client is "
@@ -56,6 +64,9 @@ args = _ap.parse_args()
 
 sizes = sorted({int(s) for s in args.devices.split(",")})
 max_dev = sizes[-1]
+if args.grid:
+    _pr, _pc = (int(s) for s in args.grid.lower().split("x"))
+    max_dev = max(max_dev, _pr * _pc)
 
 # the virtual-device flag must land before the backend client exists
 os.environ["XLA_FLAGS"] = (
@@ -117,6 +128,73 @@ def bench_gpr(sizes):
             "evals_per_sec": round(1.0 / dt, 4), "sec": round(dt, 4),
             "virtual_mesh": VIRTUAL,
         }))
+    return rows
+
+
+def bench_grid(spec):
+    """2-D grid GPR loss+grad (comm-optimal row/col-scoped exchange) vs a
+    1-device run of the same program — overhead-efficiency on the virtual
+    mesh, strong-scaling efficiency on real devices."""
+    Pr, Pc = (int(s) for s in spec.lower().split("x"))
+    N = args.n
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0, 1, (N, 1)).astype(np.float32)
+    Y = (np.sin(12 * X) + 0.1 * rng.randn(N, 1)).astype(np.float32)
+    rows = []
+    combos = [(1, 1)]
+    if (Pr, Pc) != (1, 1):
+        combos.append((Pr, Pc))
+    for pr, pc in combos:
+        P_ = pr * pc
+        mesh = Mesh(
+            np.array(jax.devices()[:P_]).reshape(pr, pc), ("rows", "cols"))
+        model = gfs.models.GPR(X, Y, kern=gfs.kernels.RBF(1, lengthscales=0.2))
+        loss_fn = parallel.make_grid_gpr_loss(
+            model, mesh, block_size=args.block_size)
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        jax.block_until_ready(vg(model))  # compile + warm
+
+        def run():
+            jax.block_until_ready(vg(model))
+
+        dt = _timed_min(run, args.reps)
+        rows.append((P_, 1.0 / dt))
+        print(json.dumps({
+            "bench": "grid_gpr_loss_grad", "devices": P_,
+            "grid": f"{pr}x{pc}", "n": N,
+            "evals_per_sec": round(1.0 / dt, 4), "sec": round(dt, 4),
+            "virtual_mesh": VIRTUAL,
+        }))
+    return rows
+
+
+def bench_cyclic(sizes):
+    """Explicit-collective 1-D cyclic Cholesky factor-only, lookahead A/B."""
+    N = args.n
+    rng = np.random.RandomState(3)
+    A = rng.randn(N, N).astype(np.float32)
+    K = jnp.asarray(A @ A.T + N * np.eye(N, dtype=np.float32))
+    rows = []
+    for P_ in sizes:
+        mesh = _mesh(P_, "rows")
+        for look in (True, False):
+            fn = jax.jit(lambda K, look=look, mesh=mesh:
+                         parallel.cyclic_cholesky(
+                             K, mesh, "rows", block_size=args.block_size,
+                             lookahead=look))
+            jax.block_until_ready(fn(K))
+
+            def run():
+                jax.block_until_ready(fn(K))
+
+            dt = _timed_min(run, args.reps)
+            if look:
+                rows.append((P_, 1.0 / dt))
+            print(json.dumps({
+                "bench": "cyclic_cholesky", "devices": P_, "n": N,
+                "lookahead": look, "factor_per_sec": round(1.0 / dt, 4),
+                "sec": round(dt, 4), "virtual_mesh": VIRTUAL,
+            }))
     return rows
 
 
@@ -189,5 +267,11 @@ if __name__ == "__main__":
     if not args.skip_gpr:
         summarize("distributed GPR loss+grad (strong scaling)",
                   bench_gpr(sizes))
+    if args.grid:
+        summarize("2-D grid GPR loss+grad (strong scaling)",
+                  bench_grid(args.grid))
+    if args.cyclic:
+        summarize("1-D cyclic Cholesky factor, lookahead (strong scaling)",
+                  bench_cyclic(sizes))
     if not args.skip_nuts:
         summarize("NUTS chains (weak scaling)", bench_nuts(sizes), weak=True)

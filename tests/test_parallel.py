@@ -259,9 +259,11 @@ def test_cyclic_cholesky_matches_numpy(mesh):
     N, bs = 128, 16
     A = rng.randn(N, N)
     K = jnp.asarray(A @ A.T + N * np.eye(N))
-    L = np.asarray(parallel.cyclic_cholesky(K, mesh, "data", block_size=bs))
-    np.testing.assert_allclose(L, np.linalg.cholesky(np.asarray(K)),
-                               atol=1e-10)
+    Lref = np.linalg.cholesky(np.asarray(K))
+    for look in (True, False):  # lookahead reorders, must not change math
+        L = np.asarray(parallel.cyclic_cholesky(
+            K, mesh, "data", block_size=bs, lookahead=look))
+        np.testing.assert_allclose(L, Lref, atol=1e-10)
 
 
 def test_cyclic_cholesky_differentiable(mesh):
