@@ -42,6 +42,10 @@ _ap.add_argument("--devices", default="1,2,4,8")
 _ap.add_argument("--n", type=int, default=4096)
 _ap.add_argument("--block-size", type=int, default=256)
 _ap.add_argument("--chains-per-dev", type=int, default=2)
+_ap.add_argument("--fixed-chains", type=int, default=None,
+                 help="keep the TOTAL chain count fixed across mesh sizes "
+                      "(measures the chains-axis sharding overhead at "
+                      "constant statistical work) instead of chains ∝ P")
 _ap.add_argument("--samples", type=int, default=64)
 _ap.add_argument("--warmup", type=int, default=64)
 _ap.add_argument("--reps", type=int, default=3)
@@ -219,10 +223,14 @@ def bench_nuts(sizes):
     dim = 3
     rows = []
     for P_ in sizes:
-        C = args.chains_per_dev * P_
+        C = args.fixed_chains or (args.chains_per_dev * P_)
+        if C % P_ != 0:
+            continue
         x0s = 0.1 * jax.random.normal(
             jax.random.PRNGKey(0), (C, dim), dtype=dt_f)
         mesh = _mesh(P_, "chains") if P_ > 1 else None
+
+        samples_box = {}
 
         def run():
             s, info = parallel.sample_chains(
@@ -231,14 +239,21 @@ def bench_nuts(sizes):
                 max_depth=6,
             )
             jax.block_until_ready(s)
+            samples_box["s"] = s
 
         run()  # compile
         dt = _timed_min(run, max(1, args.reps - 1))
         draws_ps = C * args.samples / dt
+        s = np.asarray(samples_box["s"])
+        ess = gfs.mcmc.effective_sample_size(s)
+        rhat = gfs.mcmc.potential_scale_reduction(s)
         rows.append((P_, draws_ps))
         print(json.dumps({
             "bench": "nuts_chains", "devices": P_, "chains": C,
             "draws_per_sec": round(draws_ps, 2), "sec": round(dt, 3),
+            "min_ess_per_sec": round(float(np.min(ess)) / dt, 3),
+            "min_ess": round(float(np.min(ess)), 1),
+            "rhat_max": round(float(np.max(rhat)), 4),
             "virtual_mesh": VIRTUAL,
         }))
     return rows

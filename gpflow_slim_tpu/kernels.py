@@ -225,10 +225,17 @@ class Stationary(Kernel):
         var = jnp.squeeze(self.variance.value)
         Xs = self._scaled(X)
         X2s = Xs if X2 is None else self._scaled(X2)
-        if _linalg._pallas_active():
+        if _linalg._pallas_active() and Xs.dtype == jnp.float32:
             from .ops import autotune as _autotune
 
-            if _autotune.use_pallas_gram():
+            # probe-routed (one mechanism with the Cholesky/TRSM routes):
+            # the fused kernel must beat the composite by >15% — the
+            # composite fuses into neighboring elementwise consumers,
+            # which a standalone probe can't see (priced into the
+            # gram hysteresis). GFS_PALLAS_GRAM pins (0/1).
+            if _autotune.gram_choice(
+                    Xs.shape[0], X2s.shape[0], Xs.shape[1],
+                    self._gram_kind, Xs.dtype) is not None:
                 return _pg.stationary_gram(self._gram_kind, Xs, X2s, var)
         return _pg._gram_reference(self._gram_kind, Xs, X2s, var)
 

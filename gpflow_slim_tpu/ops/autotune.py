@@ -54,22 +54,6 @@ _HYSTERESIS = 0.95
 _STATIC_CHOL_TABLE: dict = {}
 
 
-def use_pallas_gram() -> bool:
-    """Whether stationary Grams route to the fused Pallas kernel.
-
-    Measured 2026-08-20 (benchmarks/bench_chol_scan.py --gram +
-    bench_ab.py): standalone the Pallas gram TIES the XLA composite
-    (±8% across N=2048..12288), but inside the GPR objective the XLA
-    composite wins ~7% — it fuses into the neighboring noise-add /
-    consumer, while the opaque Pallas call adds a pad+slice copy at
-    non-multiple N. Ties go to XLA, so the measured default is the
-    composite; ``GFS_PALLAS_GRAM=1`` pins the fused kernel back on (it
-    remains the building block for the ring/distributed paths, which
-    pass pre-tiled shapes).
-    """
-    return os.environ.get("GFS_PALLAS_GRAM", "0") not in ("0", "false", "")
-
-
 def use_pallas_gram_lower() -> bool:
     """Whether Cholesky-bound Grams use the lower-triangle-only Pallas
     kernel (``pallas_gram.stationary_gram_lower``). The kernel skips the
@@ -302,3 +286,209 @@ def chol_choice(N, dtype):
             choice = None
     _CHOICE_CACHE[key] = choice
     return choice
+
+
+# ---------------------------------------------------------------------------
+# Generic per-shape probe: one mechanism for every routed kernel
+# (VERDICT r4 #5 — the wide/batched TRSM and the gram previously used
+# measured-once static gates while the Cholesky probed; now all four
+# resolve pin -> cache -> probe -> static default, sharing the same
+# scan-amortized fresh-seed timing and the same ties-go-to-XLA
+# hysteresis. Static thresholds survive only as probe-SKIP fast paths
+# for shapes that cannot win by construction.)
+# ---------------------------------------------------------------------------
+
+_OP_CACHE: dict = {}
+
+
+def _probe_impls(tag, key, impls, make_args, hysteresis):
+    """Time each impl (name -> fn(args..., i_scalar)) at ``key``; return
+    the winning non-"xla" name if it beats "xla" by ``hysteresis``, else
+    None. Candidates that fail to compile OR die at runtime during the
+    probe are skipped (compile/runtime-reject fallback)."""
+    args = make_args()
+
+    def scan_runner(fn):
+        @jax.jit
+        def many(args, seed):
+            def body(carry, i):
+                out = fn(*args, seed * 1e-9 + 1e-6 * (i + 1))
+                return carry + out, None
+
+            total, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), jnp.arange(_PROBE_REPS))
+            return total
+
+        return many
+
+    times = {}
+    for name, fn in impls.items():
+        try:
+            times[name] = _probe_time(scan_runner(fn), args, 11.0)
+        except Exception:  # compile/runtime rejection — skip candidate
+            continue
+    if "xla" not in times:
+        return None
+    xla_t = times.pop("xla")
+    choice = None
+    if times:
+        best = min(times, key=times.get)
+        if times[best] < hysteresis * xla_t:
+            choice = best
+    summary = {"xla": round(xla_t * 1e3 / _PROBE_REPS, 2)}
+    summary.update(
+        {n: round(v * 1e3 / _PROBE_REPS, 2) for n, v in times.items()})
+    print(
+        f"# gfs autotune {tag} {key}: {summary} ms/op -> "
+        f"{choice or 'xla'}",
+        file=sys.stderr,
+        flush=True,
+    )
+    return choice
+
+
+def _op_choice(tag, key, env_pin, impls_builder, make_args,
+               hysteresis=_HYSTERESIS):
+    pin = os.environ.get(env_pin)
+    if pin is not None and pin != "":
+        if pin in ("0", "false"):
+            return None
+        if pin in ("1", "true"):
+            return "pallas"
+    full_key = (tag, jax.default_backend()) + key
+    if full_key in _OP_CACHE:
+        return _OP_CACHE[full_key]
+    if not _autotune_enabled():
+        choice = None  # measured static default: XLA (docs/PERFORMANCE.md)
+    else:
+        try:
+            choice = _run_outside_trace(
+                _probe_impls, tag, key, impls_builder(), make_args,
+                hysteresis)
+        except Exception as e:  # probe failure must never take the program
+            print(
+                f"# gfs autotune {tag} {key}: probe failed "
+                f"({type(e).__name__}: {e}) -> xla",
+                file=sys.stderr,
+                flush=True,
+            )
+            choice = None
+    _OP_CACHE[full_key] = choice
+    return choice
+
+
+def trsm_wide_choice(M, C, dtype):
+    """Routing for a single lower-triangular solve L (M,M) with a WIDE
+    RHS (M, C): "pallas" for the blocked Mosaic TRSM, None for XLA.
+
+    Probe-skip fast path: C < 128 cannot fill an MXU tile row, so thin
+    RHS goes straight to XLA substitution without paying a probe.
+    Pin: ``GFS_PALLAS_TRSM`` (0 = XLA, 1 = Pallas).
+    """
+    if C < 128:
+        return None
+
+    def impls():
+        from jax.scipy.linalg import solve_triangular
+
+        from . import pallas_trsm
+
+        def xla(L, B, eps):
+            out = solve_triangular(L, B + eps, lower=True)
+            return jnp.sum(out[-1, -64:])
+
+        def pallas(L, B, eps):
+            out = pallas_trsm.solve_lower(L, B + eps)
+            return jnp.sum(out[-1, -64:])
+
+        return {"xla": xla, "pallas": pallas}
+
+    def make_args():
+        L = jnp.eye(M, dtype=dtype) * 2.0 + 0.01 * jnp.tril(
+            jnp.ones((M, M), dtype), -1)
+        B = jnp.ones((M, C), dtype)
+        return (L, B)
+
+    return _op_choice("trsm_wide", (int(M), int(C), jnp.dtype(dtype).name),
+                      "GFS_PALLAS_TRSM", impls, make_args)
+
+
+def trsm_batched_choice(P, M, dtype):
+    """Routing for batched triangular solves L (P,M,M) X = B (P,M,M):
+    "pallas" for the grid kernel, None for vmapped XLA substitution.
+    Pin: ``GFS_PALLAS_BATCHED_TRSM`` (0 = XLA, 1 = Pallas)."""
+
+    def impls():
+        from jax.scipy.linalg import solve_triangular
+
+        from . import pallas_trsm
+
+        def xla(L, B, eps):
+            out = jax.vmap(
+                lambda l, b: solve_triangular(l, b, lower=True)
+            )(L, B + eps)
+            return jnp.sum(out[-1, -1, -64:])
+
+        def pallas(L, B, eps):
+            out = pallas_trsm.batched_solve_lower(L, B + eps)
+            return jnp.sum(out[-1, -1, -64:])
+
+        return {"xla": xla, "pallas": pallas}
+
+    def make_args():
+        L = jnp.tile(
+            (jnp.eye(M, dtype=dtype) * 2.0)[None], (P, 1, 1))
+        B = jnp.ones((P, M, M), dtype)
+        return (L, B)
+
+    return _op_choice(
+        "trsm_batched", (int(P), int(M), jnp.dtype(dtype).name),
+        "GFS_PALLAS_BATCHED_TRSM", impls, make_args)
+
+
+# The fused Pallas gram must beat the XLA composite by MORE than the
+# plain hysteresis to win: inside real objectives the composite fuses
+# into neighboring elementwise ops (noise-add, consumers), worth ~7%
+# measured (bench_ab.py, 2026-08-20) — a standalone probe cannot see
+# that, so the bar prices it in.
+_GRAM_HYSTERESIS = 0.85
+
+
+def gram_choice(N, M, D, kind, dtype):
+    """Routing for a stationary Gram K(X, X2): "pallas" for the fused
+    tile kernel, None for the XLA composite.
+    Pin: ``GFS_PALLAS_GRAM`` (0 = XLA, 1 = Pallas).
+
+    Probe-skip fast path: small Grams (N·M < 4M entries — every measured
+    session has the composite ahead there, and predict paths generate
+    many distinct small shapes) go straight to the composite without
+    paying a probe compile.
+    """
+    if N * M < 4_000_000 and not os.environ.get("GFS_PALLAS_GRAM"):
+        return None
+
+    def impls():
+        from . import pallas_gram
+
+        def xla(Xs, X2s, eps):
+            out = pallas_gram._gram_reference(
+                kind, Xs + eps, X2s, jnp.asarray(1.3, dtype))
+            return jnp.sum(out[-1, -64:])
+
+        def pallas(Xs, X2s, eps):
+            out = pallas_gram.stationary_gram(
+                kind, Xs + eps, X2s, jnp.asarray(1.3, dtype))
+            return jnp.sum(out[-1, -64:])
+
+        return {"xla": xla, "pallas": pallas}
+
+    def make_args():
+        kx = jax.random.PRNGKey(0)
+        Xs = jax.random.uniform(kx, (N, D), dtype)
+        X2s = jax.random.uniform(kx, (M, D), dtype)
+        return (Xs, X2s)
+
+    return _op_choice(
+        "gram", (int(N), int(M), int(D), kind, jnp.dtype(dtype).name),
+        "GFS_PALLAS_GRAM", impls, make_args,
+        hysteresis=_GRAM_HYSTERESIS)

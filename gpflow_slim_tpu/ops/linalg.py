@@ -181,33 +181,26 @@ def gpr_chol_terms(kern, X, noise, D):
     return chol_logdet_quad(K, D)
 
 
-# The wide TRSM kernel holds two (bs, pc) RHS panels + two (bs, bs) L
-# tiles in VMEM, pc = padded column count. Measured 2026-08-20
-# (benchmarks/bench_trsm_scan.py): runs fine at pc=2048 (8.9 MB), fails
-# at runtime at pc=8192 (17.3 MB > the 16 MiB scoped-VMEM budget) — so
-# gate on the actual scratch footprint, with headroom for temporaries.
-_TRSM_BLOCK = 256
-_TRSM_VMEM_BUDGET = 12 * 1024 * 1024  # bytes
-
-
 def _wide_pallas_ok(T, B):
-    # dtype gate: the Mosaic TRSM kernels are f32-only — under
-    # jax_enable_x64 (this repo's parity mode) f64 operands must stay on
-    # the XLA path rather than fail at compile time.
-    # Perf region (measured 2026-08-20, scan-amortized): Pallas wins ~11%
-    # at (M=512, N=2048) and ties at (M=2048, N=2048); XLA handles the
-    # VMEM-overflow region. Thin RHS (< 128 cols) can't fill MXU tiles.
+    """Probe-routed wide-TRSM gate (one mechanism with the Cholesky and
+    gram probes — ops.autotune). The only static checks left are
+    plausibility gates: f32 (the Mosaic kernels are f32-only; x64 parity
+    mode must not fail at compile time) and 2-D. The old measured-once
+    VMEM-footprint constant is gone — a candidate that overflows scoped
+    VMEM fails during the probe and is skipped (compile/runtime-reject
+    fallback); the <128-column MXU-tile floor lives in the probe module
+    as its probe-skip fast path."""
     if not (
         _pallas_active()
         and B.ndim == 2
-        and B.shape[1] >= 128
         and T.dtype == jnp.float32
         and B.dtype == jnp.float32
     ):
         return False
-    pc = B.shape[1] + (-B.shape[1]) % 128
-    scratch = 4 * 2 * (_TRSM_BLOCK * _TRSM_BLOCK + _TRSM_BLOCK * pc)
-    return scratch <= _TRSM_VMEM_BUDGET
+    from . import autotune
+
+    return autotune.trsm_wide_choice(
+        T.shape[0], B.shape[1], B.dtype) is not None
 
 
 def solve_lower(L, B):
@@ -236,22 +229,14 @@ def cho_solve_lower(L, B):
     return solve_upper(L.T, solve_lower(L, B))
 
 
-# Measured 2026-08-20 (benchmarks/bench_trsm_scan.py, scan-amortized):
-# the batched Pallas grid kernel never beat vmap'd XLA substitution at the
-# real gauss_kl shapes (P=4/10, M=256/512: ties within 3-10%, XLA ahead)
-# and FAILED at runtime at M=1024 (the whole-triangle VMEM tile plus the
-# Newton-inverse temporaries overflow the scoped budget) — the previous
-# M<=1024 cap was asserted, not measured. Route batched solves to XLA;
-# GFS_PALLAS_BATCHED_TRSM=1 pins the grid kernel back on (M<=512 only).
-_PALLAS_BATCHED_TRSM_MAX_M = 512
-
-
 def _batched_pallas_ok(L, B):
-    import os
-
-    if os.environ.get("GFS_PALLAS_BATCHED_TRSM", "0") in ("0", "false", ""):
-        return False
-    return (
+    """Probe-routed batched-TRSM gate (ops.autotune.trsm_batched_choice):
+    pin -> cache -> probe, the same mechanism as the Cholesky/gram/wide
+    routes. 2026-08-20 static measurements (grid kernel never beating
+    vmapped XLA at gauss_kl shapes, runtime VMEM overflow at M=1024) are
+    now rediscovered by the probe per shape: losing candidates are not
+    chosen, overflowing ones fail during the probe and are skipped."""
+    if not (
         _pallas_active()
         and L.ndim == 3
         and B.ndim == 3
@@ -259,8 +244,12 @@ def _batched_pallas_ok(L, B):
         and B.dtype == jnp.float32
         and L.shape[0] == B.shape[0]
         and L.shape[2] == B.shape[1]
-        and L.shape[1] <= _PALLAS_BATCHED_TRSM_MAX_M
-    )
+    ):
+        return False
+    from . import autotune
+
+    return autotune.trsm_batched_choice(
+        L.shape[0], L.shape[1], L.dtype) is not None
 
 
 def batched_solve_lower(L, B):
