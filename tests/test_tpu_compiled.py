@@ -209,3 +209,52 @@ def test_pallas_cholesky_ill_conditioned_gram():
                     / np.linalg.norm(Ld))
             # f32-class: XLA's own f32 chol measures ~4e-5 here
             assert frob < 5e-4, (bs, mode, frob)
+
+
+@requires_tpu
+def test_fused_gram_chol_solve_logdet_compiled():
+    """Round-5 fused pipeline end-to-end on the chip: one-pass lower-tile
+    gram+noise+pad operand -> fused potrf+potrs (s4) vs the f64 oracle,
+    at a non-block-multiple N (exercises the unit-diagonal pad path)."""
+    from gpflow_slim_tpu.ops import pallas_cholesky, pallas_gram
+
+    N, bs = 3000, 512
+    pad_to = N + (-N) % bs
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0, 1, (N, 1))
+    Y = np.sin(12 * X) + 0.1 * rng.randn(N, 1)
+
+    Xs = jnp.asarray(X / 0.1, jnp.float32)
+    D = jnp.asarray(Y, jnp.float32)
+    Dp = jnp.concatenate(
+        [D, jnp.zeros((pad_to - N, 1), jnp.float32)], axis=0)
+
+    @jax.jit
+    def pipeline(Xs, Dp):
+        Kp = pallas_gram.stationary_gram_chol_operand(
+            "rbf", Xs, jnp.float32(1.0), jnp.float32(0.01), pad_to)
+        return pallas_cholesky.cholesky_solve_logdet(Kp, Dp, bs, "s4")
+
+    hl, quad = pipeline(Xs, Dp)
+
+    # f64 oracle factoring the DEVICE-COMPUTED gram (pull the valid lower
+    # triangle): this isolates the factorization+solve accuracy the fused
+    # kernel owns. Comparing against a host-built f64 gram instead mixes
+    # in f32 gram-ENTRY rounding, which at noise=0.01 conditioning is
+    # ~1e-5 of the logdet (the round-4 "oracle artifact" lesson).
+    Kp_dev = jax.jit(
+        lambda Xs: pallas_gram.stationary_gram_chol_operand(
+            "rbf", Xs, jnp.float32(1.0), jnp.float32(0.01), pad_to)
+    )(Xs)
+    Kl = np.asarray(Kp_dev[:N, :N], np.float64)
+    Kd = np.tril(Kl) + np.tril(Kl, -1).T  # symmetrize from the lower
+    Ld = np.linalg.cholesky(Kd)
+    from scipy.linalg import solve_triangular
+    al = solve_triangular(Ld, np.asarray(D, np.float64), lower=True)
+    hl_ref = np.log(np.diag(Ld)).sum()
+    quad_ref = (al**2).sum()
+
+    assert abs(float(hl) - hl_ref) / abs(hl_ref) < 5e-6, (
+        float(hl), hl_ref)
+    assert abs(float(quad) - quad_ref) / abs(quad_ref) < 5e-5, (
+        float(quad), quad_ref)
