@@ -41,7 +41,7 @@ def main():
                 return jax.jit(jnp.linalg.cholesky)
             import re
 
-            m = re.fullmatch(r"p(\d+)(hi|s3d|s4d|s3|s4)?", name)
+            m = re.fullmatch(r"p(\d+)((?:hi|s3d|s4d|s3|s4)(?:x2)?)?", name)
             bs, mode = int(m.group(1)), m.group(2) or "hi"
             return jax.jit(
                 lambda K: pallas_cholesky.cholesky(K, bs, mode))

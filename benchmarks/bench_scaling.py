@@ -211,9 +211,26 @@ def bench_nuts(sizes):
     dt_f = gfs.config.default_float()
     X, Y = jnp.asarray(X, dt_f), jnp.asarray(Y, dt_f)
 
+    def make_model():
+        # the REAL hyperposterior shape (BASELINE config #4): LogNormal
+        # priors on all three hypers — without them the posterior is
+        # improper-ish and 512 draws measure mixing failure (R̂ 1.2,
+        # observed 2026-08-21), not sampler throughput
+        k = gfs.kernels.RBF(1, lengthscales=0.3)
+        k.variance = gfs.params.Param(
+            1.0, transform=gfs.transforms.positive(),
+            prior=gfs.priors.LogNormal(0.0, 1.0), name="v", dtype=dt_f)
+        k.lengthscales = gfs.params.Param(
+            0.3, transform=gfs.transforms.positive(),
+            prior=gfs.priors.LogNormal(-1.0, 1.0), name="l", dtype=dt_f)
+        m = gfs.models.GPR(np.asarray(X), np.asarray(Y), kern=k)
+        m.likelihood.variance = gfs.params.Param(
+            0.05, transform=gfs.transforms.positive(),
+            prior=gfs.priors.LogNormal(-2.0, 1.0), name="n", dtype=dt_f)
+        return m
+
     def logprob(z):
-        kern = gfs.kernels.RBF(1)
-        m = gfs.models.GPR(X, Y, kern=kern)
+        m = make_model()
         leaves, td = jax.tree_util.tree_flatten(m)
         # overwrite the 3 scalar hypers (unconstrained) with z
         zi = iter(range(len(z)))

@@ -104,7 +104,7 @@ def _split_modes() -> tuple:
 # 1.2e-7 (6-pass "hi"), while running ~12% faster than XLA (20.4 vs
 # 23.1 ms) — so routing to it keeps the 1e-6-class accuracy story AND
 # wins the probe. The 3-pass "s3" (4e-5 logdet) stays opt-in.
-_DEFAULT_SYRK_MODES = ("s4", "hi")
+_DEFAULT_SYRK_MODES = ("s4x2", "s4", "hi")
 
 
 def _candidates():
@@ -226,7 +226,8 @@ def chol_choice(N, dtype):
     if env:
         import re
 
-        m = re.fullmatch(r"(\d+)(hi|s3d|s4d|s3|s4)?", env.strip())
+        m = re.fullmatch(
+            r"(\d+)((?:hi|s3d|s4d|s3|s4)(?:x2)?)?", env.strip())
         if m is None:
             # a typo in the pin must not take down the computation —
             # fall through to the probe/cache path below

@@ -334,6 +334,12 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
     #           error is the 2⁻¹⁸-class split representation error)
     #   +"d"  — suffix: DIAGONAL blocks (the logdet path) always update
     #           at HIGHEST; only off-diagonal blocks use the split
+    #   +"x2" — suffix: TWO-PANEL schedule — factor panels k and k+1,
+    #           then apply both rank-bs updates per trailing-block visit
+    #           (one C load+store serves two GEMMs): C-block DMA traffic
+    #           halves, the dominant trailing term. Same arithmetic,
+    #           different order. The second panel's operands reuse the
+    #           diag/zinv/pan2 buffers, which are idle during trailing.
     #
     # ``fuse_p``: when set (to the RHS column count P), the kernel ALSO
     # forward-substitutes alpha = L⁻¹ D and accumulates
@@ -346,10 +352,12 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    assert syrk in ("hi", "s3", "s4", "s3d", "s4d"), syrk
-    split = syrk != "hi"
-    keep_ll = syrk.startswith("s4")
-    exact_diag = syrk.endswith("d")
+    two_panel = syrk.endswith("x2")
+    base = syrk[:-2] if two_panel else syrk
+    assert base in ("hi", "s3", "s4", "s3d", "s4d"), syrk
+    split = base != "hi"
+    keep_ll = base.startswith("s4")
+    exact_diag = base.endswith("d")
     fuse = fuse_p is not None
 
     def kernel(*refs):
@@ -366,6 +374,7 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
             cp.start()
             cp.wait()
             hld_out[0, 0] = jnp.zeros((), hld_out.dtype)
+
         def blk(i, j):
             return A.at[pl.ds(i * bs, bs), pl.ds(j * bs, bs)]
 
@@ -379,12 +388,12 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
             cp.start()
             cp.wait()
 
-        def step_k(k, _):
-            # 1+2) factor the diagonal block and assemble its inverse from
-            #    the _SUB-leaf inverses by block doubling (see
-            #    _vmem_cholesky_inv) so the panel TRSM becomes a GEMM.
-            #    The doubling needs a few bs² live temporaries — covered
-            #    by the raised vmem_limit_bytes below.
+        def diag_panel(k):
+            """Factor the k-th diagonal block, build its inverse, run the
+            panel TRSM column (double-buffered loads + write-backs), plus
+            the fused logdet/alpha bookkeeping."""
+            # the doubling needs a few bs² live temporaries — covered by
+            # the raised vmem_limit_bytes below
             copy_in(k, k, diag)
             Lkk, Zkk = _vmem_cholesky_inv(diag[:])
             diag[:] = Lkk
@@ -407,11 +416,11 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
             else:
                 ak = None
 
-            # 3) panel: L[i,k] = A[i,k] @ Lkk⁻ᵀ — double-buffered loads
-            #    AND async write-backs. A slot's write-back must complete
-            #    before that slot is reloaded (two iterations later); the
-            #    waits are placed just before each reload plus a drain
-            #    after the loop, so DMA in/out both overlap the MXU.
+            # panel: L[i,k] = A[i,k] @ Lkk⁻ᵀ — double-buffered loads AND
+            # async write-backs. A slot's write-back must complete before
+            # that slot is reloaded (two iterations later); the waits are
+            # placed just before each reload plus a drain after the loop,
+            # so DMA in/out both overlap the MXU.
             np_i = nb - (k + 1)
 
             def p_load(slot, i):
@@ -450,8 +459,8 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
                 p_write(cur, i).start()
                 if fuse:
                     # W_i is in VMEM right now — the forward-substitution
-                    # trailing update rides along (the in-flight write-back
-                    # DMA only READS pan2[cur]; no conflict)
+                    # trailing update rides along (the in-flight
+                    # write-back DMA only READS pan2[cur]; no conflict)
                     av = alpha_v[pl.ds(i * bs, bs), :]
                     alpha_v[pl.ds(i * bs, bs), :] = av - _mm(
                         pan2[cur], ak)
@@ -469,17 +478,36 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
             def _():
                 p_write(jax.lax.rem(np_i, 2), nb - 2).wait()
 
-            # 4) trailing SYRK: A[i,j] -= L[i,k] @ L[j,k]ᵀ (i ≥ j > k),
-            #    double-buffered loads (a, c) and async write-backs: the
-            #    write of slot `s` is only awaited right before `s` is
-            #    reloaded, so the MXU never idles on the store path.
-            #    The per-column L[j,k] block is double-buffered across j
-            #    (b2): the j+1 load is issued before column j's i-loop, so
-            #    it lands during that loop's GEMMs. The b_dma prefetch
-            #    reads blk(j, k) written by the panel phase above, so it
-            #    must stay AFTER the panel-write drain — only then is it
-            #    safe at any point in the trailing phase (which writes
-            #    blk(i, j) with j > k, never column k).
+        def _bf16_split(x):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        def _dot_nt(x, y, prec=None):
+            return jax.lax.dot_general(
+                x, y, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                **({} if prec is None else {"precision": prec}),
+            )
+
+        def trail_range(k, k2, j_lo, j_hi, fused: bool):
+            """Trailing SYRK over columns j in [j_lo, j_hi):
+            C(i,j) -= L(i,k)·L(j,k)ᵀ [ + L(i,k2)·L(j,k2)ᵀ when fused ].
+
+            Double-buffered a/c loads and async c write-backs: the write
+            of slot s is only awaited right before s is reloaded, so the
+            MXU never idles on the store path. Per-column L(j,·) operands
+            are double-buffered across j (the j+1 load is issued before
+            column j's i-loop). The b prefetches read panel columns
+            written by the panel phases above, so they must stay AFTER
+            those drains — only then are they safe at any point here
+            (this phase writes blk(i, j) with j in the given range,
+            never the panel columns). In fused mode the second panel's
+            operands ride the otherwise-idle buffers: a2nd in pan2/psem,
+            b2nd in diag/zinv with pwsem (parity-predicated DMAs).
+            """
+            ncols = j_hi - j_lo
+
             def a_dma(slot, i):
                 return pltpu.make_async_copy(blk(i, k), a2.at[slot],
                                              asem.at[slot])
@@ -488,22 +516,60 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
                 return pltpu.make_async_copy(blk(j, k), b2.at[slot],
                                              bsem.at[slot])
 
-            @pl.when(k + 1 < nb)
+            def a2_dma(slot, i):
+                return pltpu.make_async_copy(blk(i, k2), pan2.at[slot],
+                                             psem.at[slot])
+
+            def b2_dma(parity, j):
+                # parity-predicated: column j's second-panel operand
+                # lands in diag (even j) / zinv (odd j)
+                @pl.when(parity == 0)
+                def _():
+                    cp = pltpu.make_async_copy(blk(j, k2), diag,
+                                               pwsem.at[0])
+                    cp.start()
+
+                @pl.when(parity != 0)
+                def _():
+                    cp = pltpu.make_async_copy(blk(j, k2), zinv,
+                                               pwsem.at[1])
+                    cp.start()
+
+            def b2_wait(parity):
+                @pl.when(parity == 0)
+                def _():
+                    pltpu.make_async_copy(blk(0, 0), diag,
+                                          pwsem.at[0]).wait()
+
+                @pl.when(parity != 0)
+                def _():
+                    pltpu.make_async_copy(blk(0, 0), zinv,
+                                          pwsem.at[1]).wait()
+
+            @pl.when(ncols > 0)
             def _():
-                b_dma(jax.lax.rem(k + 1, 2), k + 1).start()
+                b_dma(jax.lax.rem(j_lo, 2), j_lo).start()
+                if fused:
+                    b2_dma(jax.lax.rem(j_lo, 2), j_lo)
 
             def trail_j(j, _):
                 cur_b = jax.lax.rem(j, 2)
 
-                @pl.when(j + 1 < nb)
+                @pl.when(j + 1 < j_hi)
                 def _():
                     b_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+                    if fused:
+                        b2_dma(jax.lax.rem(j + 1, 2), j + 1)
 
                 b_dma(cur_b, j).wait()
                 b_s = b2[cur_b]
+                if fused:
+                    b2_wait(cur_b)
+                    b2_s = jnp.where(cur_b == 0, diag[:], zinv[:])
                 if split:
-                    bh = b_s.astype(jnp.bfloat16)
-                    bl = (b_s - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+                    bh, bl = _bf16_split(b_s)
+                    if fused:
+                        b2h, b2l = _bf16_split(b2_s)
                 n_i = nb - j
 
                 def c_dma(slot, i):
@@ -514,49 +580,51 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
                     return pltpu.make_async_copy(c2.at[slot], blk(i, j),
                                                  wsem.at[slot])
 
-                def dot_hi(x, y):
-                    return jax.lax.dot_general(
-                        x, y, (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=_SYRK_PRECISION,
-                    )
-
                 def update(cur, exact):
                     if split and not exact:
-                        a = a2[cur]
-                        ah = a.astype(jnp.bfloat16)
-                        al = (a - ah.astype(jnp.float32)).astype(
-                            jnp.bfloat16)
-
-                        def dot_nt(x, y):
-                            return jax.lax.dot_general(
-                                x, y, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32,
-                            )
-
-                        prod = dot_nt(ah, bh) + dot_nt(ah, bl) + dot_nt(
-                            al, bh)
+                        ah, al = _bf16_split(a2[cur])
+                        prod = (_dot_nt(ah, bh) + _dot_nt(ah, bl)
+                                + _dot_nt(al, bh))
                         if keep_ll:
-                            prod = prod + dot_nt(al, bl)
+                            prod = prod + _dot_nt(al, bl)
+                        if fused:
+                            a2h, a2l = _bf16_split(pan2[cur])
+                            prod = prod + _dot_nt(a2h, b2h) + _dot_nt(
+                                a2h, b2l) + _dot_nt(a2l, b2h)
+                            if keep_ll:
+                                prod = prod + _dot_nt(a2l, b2l)
                     else:
-                        prod = dot_hi(a2[cur], b_s)
+                        prod = _dot_nt(a2[cur], b_s,
+                                       prec=_SYRK_PRECISION)
+                        if fused:
+                            prod = prod + _dot_nt(pan2[cur], b2_s,
+                                                  prec=_SYRK_PRECISION)
                     c2[cur] = (c2[cur] - prod).astype(c2.dtype)
 
-                # warm-up: start the first pair
-                a_dma(0, j).start()
-                c_dma(0, j).start()
+                def start_pair(slot, i):
+                    a_dma(slot, i).start()
+                    if fused:
+                        a2_dma(slot, i).start()
+                    c_dma(slot, i).start()
+
+                def wait_pair(slot, i):
+                    a_dma(slot, i).wait()
+                    if fused:
+                        a2_dma(slot, i).wait()
+                    c_dma(slot, i).wait()
+
+                # warm-up: start the first group
+                start_pair(0, j)
 
                 if exact_diag:
-                    # peel idx=0 — the DIAGONAL block (i == j), which is
-                    # the logdet path: it always updates at HIGHEST, so
-                    # only off-diagonal blocks carry split error directly
+                    # peel idx=0 — the DIAGONAL block (i == j), the
+                    # logdet path: it always updates at HIGHEST, so only
+                    # off-diagonal blocks carry split error directly
                     @pl.when(n_i >= 2)
                     def _():
-                        a_dma(1, j + 1).start()
-                        c_dma(1, j + 1).start()
+                        start_pair(1, j + 1)
 
-                    a_dma(0, j).wait()
-                    c_dma(0, j).wait()
+                    wait_pair(0, j)
                     update(0, exact=True)
                     c_write(0, j).start()
 
@@ -571,11 +639,9 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
                         def _():
                             c_write(nxt, i - 1).wait()
 
-                        a_dma(nxt, i + 1).start()
-                        c_dma(nxt, i + 1).start()
+                        start_pair(nxt, i + 1)
 
-                    a_dma(cur, i).wait()
-                    c_dma(cur, i).wait()
+                    wait_pair(cur, i)
                     update(cur, exact=False)
                     c_write(cur, i).start()
                     return 0
@@ -583,7 +649,7 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
                 jax.lax.fori_loop(1 if exact_diag else 0, n_i, trail_i, 0)
 
                 # drain outstanding write-backs before the next j reuses
-                # the slots (and before later k-steps read these blocks)
+                # the slots (and before later steps read these blocks)
                 @pl.when(n_i >= 1)
                 def _():
                     c_write(jax.lax.rem(n_i - 1, 2), nb - 1).wait()
@@ -594,10 +660,33 @@ def _make_chol_kernel(nb: int, bs: int, syrk: str = "hi",
 
                 return 0
 
-            jax.lax.fori_loop(k + 1, nb, trail_j, 0)
-            return 0
+            jax.lax.fori_loop(j_lo, j_hi, trail_j, 0)
 
-        jax.lax.fori_loop(0, nb, step_k, 0)
+        if two_panel:
+            def super_step(t, _):
+                k = 2 * t
+                diag_panel(k)
+                # bring ONLY the next panel's column up to date ...
+                trail_range(k, None, k + 1, k + 2, fused=False)
+                # ... factor it ...
+                diag_panel(k + 1)
+                # ... then apply BOTH rank-bs updates per C-block visit
+                trail_range(k, k + 1, k + 2, nb, fused=True)
+                return 0
+
+            jax.lax.fori_loop(0, nb // 2, super_step, 0)
+            if nb % 2 == 1:
+                # odd tail: the last block column only needs its own
+                # diagonal factor (its updates all landed in the fused
+                # trailing phases above)
+                diag_panel(nb - 1)
+        else:
+            def step_k(k, _):
+                diag_panel(k)
+                trail_range(k, None, k + 1, nb, fused=False)
+                return 0
+
+            jax.lax.fori_loop(0, nb, step_k, 0)
 
         if fuse:
             cp = pltpu.make_async_copy(alpha_v, alpha_out, dsem)

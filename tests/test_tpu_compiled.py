@@ -198,7 +198,7 @@ def test_pallas_cholesky_ill_conditioned_gram():
     K32 = jnp.asarray(Kd, jnp.float32)
 
     for bs in (256, 512):
-        for mode in ("hi", "s3", "s4", "s4d"):
+        for mode in ("hi", "s3", "s4", "s4d", "s4x2"):
             L = np.asarray(
                 jax.jit(lambda K, b=bs, s=mode: pallas_cholesky.cholesky(
                     K, b, s))(K32),
