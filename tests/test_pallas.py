@@ -282,3 +282,36 @@ def test_pallas_cholesky_syrk_modes_interpret(syrk):
     # split modes carry ~2^-15-class product error by design
     assert np.abs(L - Lref).max() / np.abs(Lref).max() < 2e-3
     assert np.abs(np.triu(L, 1)).max() == 0.0
+
+
+def test_cholesky_solve_logdet_interpret_and_vjp():
+    # fused potrf+potrs (+logdet) values AND custom-VJP gradients vs the
+    # autodiff reference, through the same kernel code the TPU runs
+    from scipy.linalg import solve_triangular
+
+    N, P, bs = 128, 2, 64
+    A = rng.randn(N, N)
+    K0 = jnp.asarray(A @ A.T + N * np.eye(N))
+    D0 = jnp.asarray(rng.randn(N, P))
+
+    Lp, alpha, hld = pallas_cholesky._cholesky_solve_pallas(
+        K0, D0, block_size=bs, interpret=True)
+    L = np.linalg.cholesky(np.asarray(K0))
+    al = solve_triangular(L, np.asarray(D0), lower=True)
+    assert abs(float(hld) - np.log(np.diag(L)).sum()) < 1e-10 * abs(
+        np.log(np.diag(L)).sum())
+    np.testing.assert_allclose(np.asarray(alpha), al, atol=1e-8)
+
+    def obj_ref(K, D, g1, g2):
+        Lr = jnp.linalg.cholesky(K)
+        hl = jnp.sum(jnp.log(jnp.diagonal(Lr)))
+        a = jax.scipy.linalg.solve_triangular(Lr, D, lower=True)
+        return g1 * hl + g2 * jnp.sum(jnp.square(a))
+
+    g1, g2 = 0.7, -1.3
+    gK_ref, gD_ref = jax.grad(obj_ref, argnums=(0, 1))(K0, D0, g1, g2)
+    Kbar, Dbar = pallas_cholesky._csl_bwd(bs, "hi", (Lp, alpha), (g1, g2))
+    sym = lambda g: np.asarray(0.5 * (g + g.T))
+    np.testing.assert_allclose(sym(Kbar), sym(gK_ref), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Dbar), np.asarray(gD_ref),
+                               atol=1e-8)
