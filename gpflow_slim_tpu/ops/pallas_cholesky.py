@@ -159,12 +159,6 @@ _MM_PRECISION = jax.lax.Precision.HIGHEST
 _SYRK_PRECISION = jax.lax.Precision.HIGHEST
 
 
-def _set_mm_precision(p, syrk=None):
-    global _MM_PRECISION, _SYRK_PRECISION
-    _MM_PRECISION = p
-    _SYRK_PRECISION = p if syrk is None else syrk
-
-
 def _mm(A, B, ta=False, tb=False):
     dims = ((1,) if not ta else (0,), (0,) if not tb else (1,))
     # accumulate in the operand dtype: f32 on the TPU kernel path, but
