@@ -104,16 +104,21 @@ def _split_modes() -> tuple:
 # 1.2e-7 (6-pass "hi"), while running ~12% faster than XLA (20.4 vs
 # 23.1 ms) — so routing to it keeps the 1e-6-class accuracy story AND
 # wins the probe. The 3-pass "s3" (4e-5 logdet) stays opt-in.
-_DEFAULT_SYRK_MODES = ("s4x2", "s4", "hi")
+_DEFAULT_SYRK_MODES = ("s4x2", "s4")
 
 
 def _candidates():
+    # each candidate costs one pipeline compile (~20-40 s on the remote
+    # tunnel) at first use of a shape, so the default list is the two
+    # measured contenders: the two-panel and classic 4-pass-split
+    # schedules (2026-08-21 sweep: every "hi"/bs=256 variant lost to one
+    # of these at every N, and to XLA below ~6k). The full variant space
+    # stays reachable via GFS_PALLAS_CHOL_SPLIT / GFS_PALLAS_CHOL_BS.
     env = os.environ.get("GFS_PALLAS_CHOL_BS")
     if env:
         return None  # pin handled by caller
     base = [(512, m) for m in _split_modes()]
     base += [(512, m) for m in _DEFAULT_SYRK_MODES]
-    base += [(256, "hi")]
     return tuple(base)
 
 
