@@ -61,6 +61,56 @@ def bench_svgp(N=100_000, M=256, B=1024, steps=20):
     }))
 
 
+def bench_sgpr(N=10_000, M=100, reps=30):
+    """BASELINE config #2: SGPR (Titsias collapsed bound), N=10k, M=100
+    inducing, composite Matérn32 + Periodic kernel. Scan-amortized
+    objective evals/s on the default backend."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+
+    import gpflow_slim_tpu as gfs
+
+    rng = np.random.RandomState(0)
+    X = rng.uniform(0, 1, (N, 1)).astype(np.float32)
+    Y = (np.sin(12 * X) + 0.3 * np.sin(40 * X)
+         + 0.1 * rng.randn(N, 1)).astype(np.float32)
+    kern = (gfs.kernels.Matern32(1, lengthscales=0.2)
+            + gfs.kernels.Periodic(1, period=0.16, lengthscales=0.5))
+    m = gfs.models.SGPR(X, Y, kern=kern,
+                        Z=np.linspace(0, 1, M, None)[:, None]
+                        .astype(np.float32))
+    leaves, treedef = jax.tree_util.tree_flatten(m)
+
+    @jax.jit
+    def many(leaves, seed):
+        def body(carry, i):
+            pert = [
+                l + seed * 1e-7 + 1e-6 * (i + 1) if l.ndim == 0 else l
+                for l in leaves
+            ]
+            mm = jax.tree_util.tree_unflatten(treedef, pert)
+            return carry + mm.objective(), None
+
+        total, _ = jax.lax.scan(
+            body, jnp.zeros((), jnp.float32), jnp.arange(reps))
+        return total
+
+    float(many(leaves, jnp.float32(0.0)))
+    best = float("inf")
+    for t in range(3):
+        t0 = _t.perf_counter()
+        float(many(leaves, jnp.float32(17.0 + 7 * t)))
+        best = min(best, _t.perf_counter() - t0)
+    out = {
+        "metric": f"sgpr_elbo_evals_per_sec_N{N}_M{M}",
+        "value": round(reps / best, 1), "unit": "evals/s",
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
 def bench_svgp_natgrad(N=100_000, M=256, B=1024, steps=20):
     """BASELINE config #3's stated optimizer: natgrad(q) + Adam(hypers)."""
     import jax
@@ -204,6 +254,8 @@ if __name__ == "__main__":
     which = os.environ.get("BENCH_WHICH", "all")
     if which in ("svgp", "both", "all"):
         bench_svgp()
+    if which in ("sgpr", "all"):
+        bench_sgpr()
     if which in ("natgrad", "all"):
         bench_svgp_natgrad(steps=int(os.environ.get("BENCH_NATGRAD_STEPS",
                                                     200)))
