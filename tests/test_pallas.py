@@ -315,3 +315,33 @@ def test_cholesky_solve_logdet_interpret_and_vjp():
     np.testing.assert_allclose(sym(Kbar), sym(gK_ref), atol=1e-8)
     np.testing.assert_allclose(np.asarray(Dbar), np.asarray(gD_ref),
                                atol=1e-8)
+
+
+def test_op_probe_env_pins(monkeypatch):
+    # pin -> cache -> probe resolution for the unified op probes; on CPU
+    # only the pin and probe-skip paths are exercised (no TPU probing)
+    from gpflow_slim_tpu.ops import autotune
+
+    monkeypatch.setenv("GFS_PALLAS_TRSM", "1")
+    assert autotune.trsm_wide_choice(512, 256, jnp.float32) == "pallas"
+    monkeypatch.setenv("GFS_PALLAS_TRSM", "0")
+    assert autotune.trsm_wide_choice(512, 256, jnp.float32) is None
+    # probe-skip fast path: a thin RHS cannot fill an MXU tile row —
+    # never probed, never routed, even with the pin set
+    monkeypatch.setenv("GFS_PALLAS_TRSM", "1")
+    assert autotune.trsm_wide_choice(512, 64, jnp.float32) is None
+
+    monkeypatch.setenv("GFS_PALLAS_BATCHED_TRSM", "1")
+    assert autotune.trsm_batched_choice(4, 256, jnp.float32) == "pallas"
+    monkeypatch.setenv("GFS_PALLAS_BATCHED_TRSM", "0")
+    assert autotune.trsm_batched_choice(4, 256, jnp.float32) is None
+
+    monkeypatch.setenv("GFS_PALLAS_GRAM", "1")
+    assert autotune.gram_choice(
+        4096, 4096, 1, "rbf", jnp.float32) == "pallas"
+    monkeypatch.setenv("GFS_PALLAS_GRAM", "0")
+    assert autotune.gram_choice(
+        4096, 4096, 1, "rbf", jnp.float32) is None
+    # small grams skip the probe entirely when unpinned
+    monkeypatch.delenv("GFS_PALLAS_GRAM")
+    assert autotune.gram_choice(256, 256, 1, "rbf", jnp.float32) is None
